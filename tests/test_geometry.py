@@ -249,7 +249,7 @@ class TestCalibration:
         assert cls.tolist() == [2, 2]
         assert b3.shape == (2, 7)
         # reordering: [h,w,l,x,y,z,ry]
-        np.testing.assert_allclose(b3[0], [1.5, 1.6, 3.5, 1, 1, 30, 0.0], atol=1e-6)
+        np.testing.assert_allclose(b3[0], [1.5, 1.6, 3.5, 1, 1, 30, 0.5], atol=1e-6)
 
     def test_alpha_roundtrip(self, rng):
         for _ in range(10):
