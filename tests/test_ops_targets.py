@@ -1,0 +1,232 @@
+"""Tests: on-device target generation, point predicates, pose update."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from snvc_tpu.geometry import boxes as gbox
+from snvc_tpu.geometry import imgproc, transforms
+from snvc_tpu.ops.heatmaps import bev_part_heatmaps, hard_argmax_2d, soft_argmax_2d
+from snvc_tpu.ops.points_in_boxes import (
+    grid_to_cam_jnp,
+    occupancy_targets,
+    points_in_cuboid_jnp,
+    roiaware_pool3d,
+)
+from snvc_tpu.ops.registration import ncf_to_update, rigid_transform_2d_batch
+
+
+def random_box(rng):
+    return np.array(
+        [
+            1.4 + rng.random(),
+            1.5 + rng.random(),
+            3.0 + rng.random(),
+            rng.normal() * 10,
+            1.5 + rng.normal() * 0.2,
+            15 + rng.random() * 30,
+            rng.uniform(-np.pi, np.pi),
+        ],
+        dtype=np.float32,
+    )
+
+
+class TestHeatmaps:
+    def test_matches_numpy_reference(self, rng):
+        centers = rng.integers(0, 16, size=(2, 9, 2)).astype(np.float32)
+        hm = np.asarray(bev_part_heatmaps(jnp.array(centers), (16, 24), sigma=2))
+        assert hm.shape == (2, 9, 24, 16)
+        for n in range(2):
+            for p in range(9):
+                want = imgproc.gaussian_heatmap_2d((24, 16), centers[n, p], 2.0)
+                np.testing.assert_allclose(hm[n, p], want, atol=1e-5)
+
+    def test_hard_argmax_roundtrip(self, rng):
+        centers = rng.integers(2, 14, size=(3, 9, 2)).astype(np.float32)
+        hm = bev_part_heatmaps(jnp.array(centers), (16, 16), sigma=1)
+        xy, val = hard_argmax_2d(hm)
+        np.testing.assert_allclose(np.asarray(xy), centers, atol=0)
+        np.testing.assert_allclose(np.asarray(val), 1.0, atol=1e-6)
+
+    def test_soft_argmax_near_hard(self, rng):
+        centers = rng.integers(4, 12, size=(1, 3, 2)).astype(np.float32)
+        hm = bev_part_heatmaps(jnp.array(centers), (16, 16), sigma=1)
+        xy, _ = soft_argmax_2d(hm, temperature=30.0)
+        np.testing.assert_allclose(np.asarray(xy), centers, atol=0.1)
+
+
+class TestPointsInBoxes:
+    def test_predicate_matches_numpy(self, rng):
+        for _ in range(5):
+            b = random_box(rng)
+            pts = (b[3:6] + rng.normal(size=(200, 3)) * 2).astype(np.float32)
+            got = np.asarray(points_in_cuboid_jnp(jnp.array(pts), jnp.array(b)))
+            want = gbox.points_in_box3d(pts, b)
+            boundary = gbox.points_in_box3d(pts, b, tol=1e-4) & ~gbox.points_in_box3d(
+                pts, b, tol=-1e-4
+            )
+            assert np.array_equal(got[~boundary], want[~boundary])
+
+    def test_grid_to_cam_matches_numpy(self, rng):
+        b = random_box(rng)
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        got = np.asarray(grid_to_cam_jnp(jnp.array(pts), jnp.array(b)))
+        want = gbox.grid_to_cam(pts, b)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_occupancy_semantics(self, rng):
+        """fg points inside gt -> 1; grid voxels outside gt -> 0 (overrides);
+        inside gt but unobserved -> -1."""
+        b = random_box(rng)
+        gt = b.copy()
+        re = (8, 12, 12)
+        grange = (2.0, 3.0, 3.0)
+        # local grid points, h-major ravel
+        ys = np.linspace(-1, 1, re[0])
+        xs = np.linspace(-1.5, 1.5, re[1])
+        zs = np.linspace(-1.5, 1.5, re[2])
+        gy, gx, gz = np.meshgrid(ys, xs, zs, indexing="ij")
+        grid_local = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+        # points: a cluster at the box center (inside gt)
+        center = b[3:6] - np.array([0, b[0] / 2, 0])
+        pts = np.concatenate(
+            [
+                center + rng.normal(size=(50, 3)).astype(np.float64) * 0.1,
+                center + np.array([[50.0, 0, 0]]),  # far away (padding-ish)
+            ]
+        ).astype(np.float32)
+        valid = np.ones(len(pts), bool)
+        occ = np.asarray(
+            occupancy_targets(
+                jnp.array(pts), jnp.array(valid), jnp.array(b), jnp.array(gt),
+                jnp.array(grid_local), re, grange,
+            )
+        )
+        assert occ.shape == re
+        assert (occ == 1).sum() > 0
+        assert (occ == 0).sum() > 0
+        # voxels outside the gt box must be 0 even if points landed there
+        in_gt = np.asarray(
+            points_in_cuboid_jnp(grid_to_cam_jnp(jnp.array(grid_local), jnp.array(b)), jnp.array(gt))
+        ).reshape(re)
+        assert np.all(occ[~in_gt] == 0)
+        # fg voxels are a subset of in-gt voxels
+        assert np.all(in_gt[occ == 1])
+
+    def test_occupancy_invalid_points_ignored(self, rng):
+        b = random_box(rng)
+        re, grange = (4, 6, 6), (2.0, 3.0, 3.0)
+        grid_local = np.zeros((np.prod(re), 3), np.float32)
+        center = b[3:6] - np.array([0, b[0] / 2, 0])
+        pts = (center + rng.normal(size=(20, 3)) * 0.1).astype(np.float32)
+        occ_v = np.asarray(
+            occupancy_targets(
+                jnp.array(pts), jnp.array(np.zeros(20, bool)), jnp.array(b),
+                jnp.array(b), jnp.array(grid_local), re, grange,
+            )
+        )
+        assert (occ_v == 1).sum() == 0  # no valid points -> no foreground
+
+    def test_roiaware_pool(self, rng):
+        b = random_box(rng)
+        center = b[3:6] - np.array([0, b[0] / 2, 0])
+        pts = (center + rng.normal(size=(100, 3)) * 0.3).astype(np.float32)
+        feats = rng.standard_normal((100, 4)).astype(np.float32)
+        inside = gbox.points_in_box3d(pts, b)
+        pooled = np.asarray(
+            roiaware_pool3d(
+                jnp.array(pts), jnp.array(feats), jnp.array(np.ones(100, bool)),
+                jnp.array(b[None]), (4, 4, 4), mode="max",
+            )
+        )
+        assert pooled.shape == (1, 4, 4, 4, 4)
+        # global max of pooled equals max over contained points
+        if inside.sum() > 0:
+            np.testing.assert_allclose(
+                pooled.max(), feats[inside].max(), atol=1e-6
+            )
+        # avg mode produces finite values
+        pooled_avg = np.asarray(
+            roiaware_pool3d(
+                jnp.array(pts), jnp.array(feats), jnp.array(np.ones(100, bool)),
+                jnp.array(b[None]), (4, 4, 4), mode="avg",
+            )
+        )
+        assert np.all(np.isfinite(pooled_avg))
+
+
+class TestRegistration:
+    def test_batched_rigid_matches_numpy(self, rng):
+        src = rng.standard_normal((4, 2, 9)).astype(np.float32)
+        dst = rng.standard_normal((4, 2, 9)).astype(np.float32)
+        w = rng.random((4, 9)).astype(np.float32)
+        R, t = rigid_transform_2d_batch(jnp.array(src), jnp.array(dst), jnp.array(w))
+        for i in range(4):
+            Rn, tn = transforms.rigid_transform_2d(src[i], dst[i], w[i])
+            np.testing.assert_allclose(np.asarray(R)[i], Rn, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(t)[i], tn, atol=1e-4)
+
+    def test_ncf_update_recovers_true_pose(self, rng):
+        """Place heatmap peaks at the voxel positions of a ground-truth box's
+        parts; the all_parts update must recover the GT pose."""
+        nw = nl = 33
+        x_range = z_range = (-1.6, 1.6)
+        # all parts of the perturbed box must stay inside the refinement
+        # range, else their heatmap peaks clip at the grid edge (a real
+        # effect shared with the reference's out-of-range gaussian dots)
+        sample = random_box(rng)
+        sample[1], sample[2] = 1.3, 2.2  # w, l small enough
+        gt = sample.copy()
+        gt[3] += 0.3  # shift x
+        gt[5] -= 0.2  # shift z
+        gt[6] += 0.1  # rotate
+        # part offsets of gt relative to sample center, in the object frame
+        parts_gt = gbox.box_parts_cam(gt)
+        center = sample[3:6] - np.array([0, sample[0] / 2, 0])
+        basis = gbox.object_basis(sample)
+        local = (parts_gt - center) @ basis  # [9, 3] (w, h, l)
+        # voxel indices (x = w axis, z = l axis)
+        jx = (local[:, 0] - x_range[0]) / (x_range[1] - x_range[0]) * (nw - 1)
+        kz = (local[:, 2] - z_range[0]) / (z_range[1] - z_range[0]) * (nl - 1)
+        centers = np.stack([jx, kz], axis=-1)[None]  # [1, 9, 2]
+        ncf = bev_part_heatmaps(jnp.array(np.round(centers)), (nw, nl), sigma=2)
+        upd = ncf_to_update(ncf, jnp.array(sample[None]), x_range, z_range)
+        got = np.asarray(upd.all_parts)[0]
+        # voxel pitch is 0.1m; recovered pose within half a voxel
+        np.testing.assert_allclose(got[3], gt[3], atol=0.15)
+        np.testing.assert_allclose(got[5], gt[5], atol=0.15)
+        d_ang = (got[6] - gt[6] + np.pi) % (2 * np.pi) - np.pi
+        assert abs(d_ang) < 0.05
+        assert bool(np.asarray(upd.keep)[0])
+        # one_part moves the center only; orientation unchanged
+        one = np.asarray(upd.one_part)[0]
+        assert one[6] == sample[6]
+        np.testing.assert_allclose(one[3], gt[3], atol=0.15)
+
+    def test_ncf_update_filter_rejects(self, rng):
+        sample = random_box(rng)
+        ncf = jnp.full((1, 9, 8, 8), 5.0)  # out of the [-1, 2] gate
+        upd = ncf_to_update(ncf, jnp.array(sample[None]), (-1.6, 1.6), (-1.6, 1.6))
+        assert not bool(np.asarray(upd.keep)[0])
+        np.testing.assert_allclose(np.asarray(upd.all_parts)[0], sample, atol=0)
+
+    def test_ncf_update_with_coordinates(self, rng):
+        """Coordinate-head decode path: normalized coords replace argmax."""
+        sample = random_box(rng)
+        x_range = z_range = (-1.6, 1.6)
+        # coordinates that encode 'no change': parts at their sample positions
+        parts = gbox.box_parts_cam(sample)
+        center = sample[3:6] - np.array([0, sample[0] / 2, 0])
+        local = (parts - center) @ gbox.object_basis(sample)
+        cx = (local[:, 0] - x_range[0]) / 3.2
+        cz = (local[:, 2] - z_range[0]) / 3.2
+        coords = np.stack([cx, cz], axis=-1)[None].astype(np.float32)
+        ncf = jnp.zeros((1, 9, 8, 8))
+        upd = ncf_to_update(
+            ncf, jnp.array(sample[None]), x_range, z_range,
+            coordinates=jnp.array(coords),
+        )
+        got = np.asarray(upd.all_parts)[0]
+        np.testing.assert_allclose(got[3], sample[3], atol=5e-3)
+        np.testing.assert_allclose(got[5], sample[5], atol=5e-3)
+        d_ang = (got[6] - sample[6] + np.pi) % (2 * np.pi) - np.pi
+        assert abs(d_ang) < 5e-3
