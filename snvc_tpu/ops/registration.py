@@ -43,8 +43,20 @@ def rigid_transform_2d_batch(src, dst, weights=None):
     row0 = jnp.stack([c, -s], axis=-1)
     row1 = jnp.stack([s, c], axis=-1)
     R = jnp.stack([row0, row1], axis=-2)
-    t = mu_d - R @ mu_s
+    t = mu_d - _rot2(R, mu_s)
     return R, t
+
+
+def _rot2(R, pts):
+    """Apply [..., 2, 2] rotations to [..., 2, P] points elementwise.
+
+    Deliberately avoids a matmul: on TPU the MXU's default bf16 precision
+    would inject ~0.3% relative error into world coordinates (~0.1 m at
+     40 m range).  Four VPU multiplies keep full f32 accuracy.
+    """
+    x = R[..., 0, 0:1] * pts[..., 0, :] + R[..., 0, 1:2] * pts[..., 1, :]
+    y = R[..., 1, 0:1] * pts[..., 0, :] + R[..., 1, 1:2] * pts[..., 1, :]
+    return jnp.stack([x, y], axis=-2)
 
 
 class NcfUpdate(NamedTuple):
@@ -96,8 +108,8 @@ def ncf_to_update(
     c, s = jnp.cos(ry), jnp.sin(ry)
     # object -> camera: off_cam = local @ basis.T with basis cols
     # w=(-s,0,-c), l=(c,0,-s)  (y component of the BEV offset is 0)
-    cam_x = -off_x * s + off_z * c
-    cam_z = -off_x * c - off_z * s
+    cam_x = -off_x * s[:, None] + off_z * c[:, None]
+    cam_z = -off_x * c[:, None] - off_z * s[:, None]
     center_x = samples[:, 3]
     center_y = samples[:, 4] - 0.5 * h
     center_z = samples[:, 5]
@@ -118,7 +130,7 @@ def ncf_to_update(
         [center_x[:, None] + cam_x, center_z[:, None] + cam_z], axis=1
     )
     R, t = rigid_transform_2d_batch(src, dst, weights=confidence)
-    moved = R @ src + t  # [N, 2, P]
+    moved = _rot2(R, src) + t  # [N, 2, P]
     # orientation: rigid fit from the canonical (unrotated, origin) parts
     canon = jnp.stack([src_x, src_z], axis=1)
     Rc, _ = rigid_transform_2d_batch(canon, moved)
