@@ -1,0 +1,240 @@
+"""Shared conv building blocks (Flax linen, channels-last).
+
+TPU-native re-design of the reference's conv zoo
+(snvc/models/submodule.py:11-361): NHWC / NDHWC layouts so XLA tiles
+channels onto the 128-lane axis, GroupNorm-or-BatchNorm switch matching
+the reference's ``gn`` config, and the 3D/2D hourglass family used by both
+the Vernier head and the global model.
+
+All modules take a ``train`` flag; BatchNorm requires a mutable
+``batch_stats`` collection when train=True.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _norm_groups(requested: int, channels: int) -> int:
+    g = min(requested, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+class Norm(nn.Module):
+    """GroupNorm (gn=True) or BatchNorm, per the reference's switch
+    (submodule.py:28,49)."""
+
+    gn: bool = True
+    groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.gn:
+            return nn.GroupNorm(
+                num_groups=_norm_groups(self.groups, x.shape[-1]),
+                dtype=self.dtype,
+            )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(x)
+
+
+class ConvNorm(nn.Module):
+    """2D conv + norm (reference convbn, submodule.py:11-29).
+
+    The reference uses padding=dilation when dilation > 1; with k=3 that
+    keeps 'same' spatial dims, which is what we express directly.
+    """
+
+    features: int
+    kernel: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    dilation: int = 1
+    gn: bool = True
+    groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = (self.kernel,) * 2 if isinstance(self.kernel, int) else self.kernel
+        s = (self.stride,) * 2 if isinstance(self.stride, int) else self.stride
+        x = nn.Conv(
+            self.features,
+            k,
+            strides=s,
+            padding="SAME",
+            kernel_dilation=(self.dilation,) * 2,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
+
+
+class ConvNorm3d(nn.Module):
+    """3D conv + norm, NDHWC (reference convbn_3d, submodule.py:32-50)."""
+
+    features: int
+    kernel: Union[int, Tuple[int, int, int]] = 3
+    stride: Union[int, Tuple[int, int, int]] = 1
+    dilation: int = 1
+    gn: bool = True
+    groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = (self.kernel,) * 3 if isinstance(self.kernel, int) else self.kernel
+        s = (self.stride,) * 3 if isinstance(self.stride, int) else self.stride
+        x = nn.Conv(
+            self.features,
+            k,
+            strides=s,
+            padding="SAME",
+            kernel_dilation=(self.dilation,) * 3,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
+
+
+class DeconvNorm(nn.Module):
+    """2x transposed-conv upsample + norm (2D or 3D by ``ndim``)."""
+
+    features: int
+    ndim: int = 3
+    gn: bool = True
+    groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(
+            self.features,
+            (3,) * self.ndim,
+            strides=(2,) * self.ndim,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
+
+
+class ResBlock2d(nn.Module):
+    """Two 3x3 convs with a residual (reference submodule.BasicBlock:52-74;
+    note: no final relu, matching the reference exactly)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    gn: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = ConvNorm(
+            self.features, 3, self.stride, self.dilation, self.gn, dtype=self.dtype
+        )(x, train)
+        out = nn.relu(out)
+        out = ConvNorm(self.features, 3, 1, self.dilation, self.gn, dtype=self.dtype)(
+            out, train
+        )
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.stride,) * 2,
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            x = Norm(self.gn, dtype=self.dtype)(x, train)
+        return out + x
+
+
+class Hourglass(nn.Module):
+    """Two-level U-Net over 3D (ndim=3) or 2D (ndim=2) volumes with the
+    reference's pre/post skip-state interface (submodule.py:85-168,317-361).
+
+    __call__(x, presqu, postsqu) -> (out, pre, post); all at the input
+    channel count ``features`` except pre/post at 2x.
+    """
+
+    features: int
+    ndim: int = 3
+    gn: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, presqu=None, postsqu=None, train: bool = False):
+        f2 = self.features * 2
+        Conv = ConvNorm3d if self.ndim == 3 else ConvNorm
+        out = nn.relu(Conv(f2, 3, 2, gn=self.gn, dtype=self.dtype)(x, train))
+        pre = Conv(f2, 3, 1, gn=self.gn, dtype=self.dtype)(out, train)
+        pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+        out = nn.relu(Conv(f2, 3, 2, gn=self.gn, dtype=self.dtype)(pre, train))
+        out = nn.relu(Conv(f2, 3, 1, gn=self.gn, dtype=self.dtype)(out, train))
+        up = DeconvNorm(f2, self.ndim, self.gn, dtype=self.dtype)(out, train)
+        post = nn.relu(up + (presqu if presqu is not None else pre))
+        out = DeconvNorm(self.features, self.ndim, self.gn, dtype=self.dtype)(
+            post, train
+        )
+        return out, pre, post
+
+
+class HourglassDeep(nn.Module):
+    """Four-level (1/16) encoder-decoder with skip adds
+    (reference hourglass_downsample_16 / hourglass2d_downsample_16,
+    submodule.py:223-315).  __call__(x) -> out at input channels."""
+
+    features: int
+    ndim: int = 3
+    gn: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f2 = self.features * 2
+        Conv = ConvNorm3d if self.ndim == 3 else ConvNorm
+
+        def down(h, stride):
+            return nn.relu(Conv(f2, 3, stride, gn=self.gn, dtype=self.dtype)(h, train))
+
+        def match_add(up, skip):
+            # crop the upsample to the skip extent (handles small/odd dims
+            # the reference's fixed 32-deep grids never hit)
+            sl = (slice(None),) + tuple(slice(0, s) for s in skip.shape[1:-1])
+            return up[sl + (slice(None),)] + skip
+
+        d1 = down(down(x, 2), 1)  # 1/2
+        d2 = down(down(d1, 2), 1)  # 1/4
+        d3 = down(down(d2, 2), 1)  # 1/8
+        d4 = down(down(d3, 2), 1)  # 1/16
+        u1 = match_add(DeconvNorm(f2, self.ndim, self.gn, dtype=self.dtype)(d4, train), d3)
+        u2 = match_add(DeconvNorm(f2, self.ndim, self.gn, dtype=self.dtype)(u1, train), d2)
+        u3 = match_add(DeconvNorm(f2, self.ndim, self.gn, dtype=self.dtype)(u2, train), d1)
+        out = DeconvNorm(self.features, self.ndim, self.gn, dtype=self.dtype)(u3, train)
+        sl = (slice(None),) + tuple(slice(0, s) for s in x.shape[1:-1])
+        return out[sl + (slice(None),)]
+
+
+def avg_pool_height(x, factor: int):
+    """Average-pool the depth (h) axis of an NDHWC volume by ``factor``
+    (reference AvgPool3d((k,1,1)), vernier.py:289)."""
+    N, D, H, W, C = x.shape
+    return jnp.mean(x.reshape(N, D // factor, factor, H, W, C), axis=2)
+
+
+def pixel_shuffle_2d(x, factor: int):
+    """Depth-to-space on NHWC (reference nn.PixelShuffle, hrnet.py:333)."""
+    N, H, W, C = x.shape
+    r = factor
+    x = x.reshape(N, H, W, C // (r * r), r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(N, H * r, W * r, C // (r * r))

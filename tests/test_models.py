@@ -1,0 +1,137 @@
+"""Shape/finiteness tests for the Flax models (tiny configs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from snvc_tpu.config import BackboneConfig, tiny_vernier_config
+from snvc_tpu.models.fc_model import FCModel
+from snvc_tpu.models.hrnet import HRNet
+from snvc_tpu.models.layers import avg_pool_height, pixel_shuffle_2d
+from snvc_tpu.models.vernier import VernierScale
+
+
+@pytest.fixture(scope="module")
+def tiny_backbone():
+    return BackboneConfig(name="hrnet-tiny")
+
+
+class TestLayers:
+    def test_pixel_shuffle_matches_torch(self, rng):
+        import torch
+
+        x = rng.standard_normal((1, 3, 4, 8)).astype(np.float32)
+        got = np.asarray(pixel_shuffle_2d(jnp.array(x), 2))
+        want = (
+            torch.pixel_shuffle(torch.from_numpy(x.transpose(0, 3, 1, 2)), 2)
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_avg_pool_height(self, rng):
+        x = rng.standard_normal((2, 8, 3, 3, 4)).astype(np.float32)
+        got = np.asarray(avg_pool_height(jnp.array(x), 4))
+        assert got.shape == (2, 2, 3, 3, 4)
+        np.testing.assert_allclose(got[0, 0], x[0, :4].mean(axis=0), atol=1e-6)
+
+
+class TestHRNet:
+    def test_default_head_stride4(self, tiny_backbone, rng):
+        model = HRNet(tiny_backbone, head_type="default")
+        x = jnp.array(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(vars_, x)
+        assert y.shape == (1, 16, 16, 8)  # stride 4, width = stage2 ch[0]
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_heatmap_regression_head(self, tiny_backbone, rng):
+        model = HRNet(tiny_backbone, head_type="heatmap_regression", num_heatmaps=9)
+        x = jnp.array(rng.standard_normal((1, 16, 16, 64)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(vars_, x)
+        # pixel-shuffle x2 on the highest-res branch
+        assert y.shape == (1, 32, 32, 9)
+
+    def test_train_mode_updates_batch_stats(self, tiny_backbone, rng):
+        model = HRNet(tiny_backbone, head_type="default")
+        x = jnp.array(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=True)
+        y, mutated = model.apply(vars_, x, train=True, mutable=["batch_stats"])
+        assert "batch_stats" in mutated
+        assert y.shape[0] == 2
+
+
+class TestFCModel:
+    def test_shape(self, rng):
+        m = FCModel(num_blocks=1, num_neurons=32, output_size=5)
+        x = jnp.array(rng.standard_normal((4, 18)).astype(np.float32))
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(vars_, x)
+        assert y.shape == (4, 5)
+
+
+class TestVernier:
+    def _run(self, cfg, rng):
+        model = VernierScale(cfg)
+        N = 2
+        H, W = cfg.resolution
+        nh, nw, nl = cfg.grid_resolution
+        P = nh * nw * nl
+        left = jnp.array(rng.standard_normal((N, H, W, 3)).astype(np.float32))
+        right = jnp.array(rng.standard_normal((N, H, W, 3)).astype(np.float32))
+        pl = jnp.array(rng.uniform(0, W, size=(N, P, 2)).astype(np.float32))
+        pr = jnp.array(rng.uniform(0, W, size=(N, P, 2)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), left, right, pl, pr)
+        out = model.apply(vars_, left, right, pl, pr)
+        return out
+
+    def test_bev_type3(self, rng):
+        cfg = tiny_vernier_config()
+        out = self._run(cfg, rng)
+        nh, nw, nl = cfg.grid_resolution
+        assert out["ncf"].shape == (2, cfg.num_parts, nl, nw)
+        assert out["occupancy"].shape == (2, nh, nw, nl)
+        assert out["coordinates"].shape == (2, cfg.num_parts, 2)
+        occ = np.asarray(out["occupancy"])
+        assert occ.min() >= 0.0 and occ.max() <= 1.0
+        coords = np.asarray(out["coordinates"])
+        assert coords.min() >= 0.0 and coords.max() <= 1.0
+        assert np.all(np.isfinite(np.asarray(out["ncf"])))
+
+    def test_bev_type3_with_heads(self, rng):
+        cfg = tiny_vernier_config(use_bbox_head=True, use_part_reg_head=True)
+        out = self._run(cfg, rng)
+        nh, nw, nl = cfg.grid_resolution
+        assert out["bbox"].shape == (2, 5)
+        assert out["offset"].shape == (2, 27, nh, nw, nl)
+
+    def test_bev_type2(self, rng):
+        cfg = tiny_vernier_config(vernier_type="BEV_type2")
+        out = self._run(cfg, rng)
+        nh, nw, nl = cfg.grid_resolution
+        assert out["ncf"].shape == (2, cfg.num_parts, nl, nw)
+        assert out["coordinates"] is None
+
+    def test_3d_variant(self, rng):
+        cfg = tiny_vernier_config(vernier_type="3D")
+        out = self._run(cfg, rng)
+        nh, nw, nl = cfg.grid_resolution
+        assert out["ncf"].shape == (2, 1, nh, nw, nl)
+
+    def test_bev_variant(self, rng):
+        cfg = tiny_vernier_config(vernier_type="BEV")
+        out = self._run(cfg, rng)
+        nh, nw, nl = cfg.grid_resolution
+        # heatmap-regression HRNet upsamples the strided BEV map back to
+        # (nl, nw)
+        assert out["ncf"].shape[:2] == (2, cfg.num_parts)
+        assert out["occupancy"].shape == (2, nh, nw, nl)
+
+    def test_deep_hourglass_path(self, rng):
+        # n_sample_w > 16 selects the 1/16 hourglass variants
+        cfg = tiny_vernier_config(grid_resolution=(8, 32, 32), resolution=(64, 64))
+        out = self._run(cfg, rng)
+        assert out["ncf"].shape == (2, cfg.num_parts, 32, 32)
