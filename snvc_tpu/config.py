@@ -172,6 +172,7 @@ class VernierConfig(_Base):
     check_fov: bool = False
     # --- batching (TPU static shapes) ---
     max_instances: int = 8  # instances per device batch (padded)
+    image_size: Tuple[int, int] = (384, 1280)  # full-frame pad size (H, W)
     # --- output ---
     save: bool = True
     pred_type: Tuple[str, ...] = ("all_parts",)
@@ -205,10 +206,12 @@ class VernierConfig(_Base):
 
     @property
     def spacing(self) -> Tuple[float, float, float]:
-        """Voxel pitch (dy, dx, dz); reference stores this as cfg.spacing."""
+        """Voxel pitch (dy, dx, dz) under the linspace grid convention
+        (n points spanning the range -> pitch = range/(n-1)); the reference
+        stores this as cfg.spacing and its formulas assume the same."""
         nh, nw, nl = self.grid_resolution
         gh, gw, gl = self.grid_range
-        return (gh / nh, gw / nw, gl / nl)
+        return (gh / (nh - 1), gw / (nw - 1), gl / (nl - 1))
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,103 @@
+"""Per-instance database construction (host side).
+
+Mirrors the reference's refinementDataset DB init
+(snvc/dataset/KITTIRefinement_dataset.py:119-265): one record per object
+instance, built either from ground truth (synthetic supervision: the
+proposal is sampled around the GT with gaussian noise) or from a
+detector's KITTI-format prediction files (model-agnostic refinement).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from snvc_tpu.config import VernierConfig
+from snvc_tpu.data.kitti import KittiDataset, KittiScene
+from snvc_tpu.geometry.calib import Calibration, filter_annotations, read_label
+
+
+@dataclass
+class InstanceRecord:
+    scene: KittiScene
+    calib_left: Calibration
+    calib_right: Calibration
+    label: Optional[np.ndarray] = None  # [7] GT box (train/synthetic)
+    pred: Optional[np.ndarray] = None  # [7] proposal box (inference/real)
+    box2d: Optional[np.ndarray] = None  # [4] 2D box of the proposal
+    score: float = float("nan")
+
+
+def build_db_from_gt(
+    dataset: KittiDataset, cfg: VernierConfig, indices: Optional[Sequence[int]] = None
+) -> List[InstanceRecord]:
+    """One record per GT instance (reference _init_db_from_gt:119-153)."""
+    db: List[InstanceRecord] = []
+    for idx in indices if indices is not None else dataset.indices:
+        scene = dataset.scene(idx)
+        cl = scene.calibration("left")
+        cr = scene.calibration("right")
+        _, box3ds, _, _ = filter_annotations(
+            scene.labels(),
+            valid_classes=cfg.valid_classes,
+            depth_range=cfg.depth_range,
+            truncation_threshold=0.8,
+        )
+        for k in range(len(box3ds)):
+            db.append(
+                InstanceRecord(
+                    scene=scene, calib_left=cl, calib_right=cr, label=box3ds[k]
+                )
+            )
+    return db
+
+
+def build_db_from_predictions(
+    dataset: KittiDataset, cfg: VernierConfig, pred_dir: Optional[str] = None
+) -> List[InstanceRecord]:
+    """One record per predicted instance from a directory of KITTI-format
+    txt files (reference _init_db_from_pred:193-242).  Proposals keep their
+    2D boxes and scores for the output writer."""
+    pred_dir = pred_dir or cfg.pred_dir
+    db: List[InstanceRecord] = []
+    for file_name in sorted(os.listdir(pred_dir)):
+        if not file_name.endswith(".txt"):
+            continue
+        idx = int(file_name.split(".")[0])
+        scene = dataset.scene(idx)
+        cl = scene.calibration("left")
+        cr = scene.calibration("right")
+        labels = read_label(os.path.join(pred_dir, file_name))
+        b2, b3, _, scores = filter_annotations(
+            labels, valid_classes=cfg.valid_classes, ignore_truncation=False
+        )
+        for k in range(len(b3)):
+            db.append(
+                InstanceRecord(
+                    scene=scene,
+                    calib_left=cl,
+                    calib_right=cr,
+                    pred=b3[k],
+                    box2d=b2[k],
+                    score=float(scores[k]),
+                )
+            )
+    return db
+
+
+def perturb_box(
+    box: np.ndarray, cfg: VernierConfig, rng: np.random.Generator
+) -> np.ndarray:
+    """Gaussian proposal noise around a GT box
+    (reference _generate_noise/_purturb_3D_box:284-321)."""
+    noise = np.zeros(7)
+    if cfg.rot_aug:
+        noise[6] = rng.normal() * float(cfg.std_rot) * np.pi / 180.0
+    if cfg.loc_aug:
+        noise[3:6] = rng.normal(size=3) * np.asarray(cfg.std_loc)
+    if cfg.dim_aug:
+        noise[:3] = rng.normal(size=3) * np.asarray(cfg.std_dim)
+    return (box + noise).astype(np.float32)

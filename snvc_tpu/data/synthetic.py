@@ -1,0 +1,216 @@
+"""Synthetic KITTI-format scene generator.
+
+Writes a minimal but structurally-complete KITTI object tree (stereo
+images, calib, labels, velodyne, split files) with randomly-posed car-like
+boxes, so the full pipeline — dataset, instance DB, batching, device
+assembly, model, update, writer, evaluator — can be exercised end-to-end
+without real data.  The reference has no test substrate at all
+(SURVEY.md §4); this is ours.
+
+Images contain a simple shaded rendering of each box (brighter quad per
+face, consistent between views via projection), so feature sampling sees
+view-consistent structure rather than pure noise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from snvc_tpu.geometry import boxes as gbox
+from snvc_tpu.geometry.calib import Calibration, KittiLabel, format_label, ry_to_alpha
+
+IMG_H, IMG_W = 375, 1242
+
+
+def _calib_text() -> str:
+    P2 = "7.070493e+02 0.000000e+00 6.040814e+02 4.575831e+01 0.000000e+00 7.070493e+02 1.805066e+02 -3.454157e-01 0.000000e+00 0.000000e+00 1.000000e+00 4.981016e-03"
+    P3 = "7.070493e+02 0.000000e+00 6.040814e+02 -3.372877e+02 0.000000e+00 7.070493e+02 1.805066e+02 2.199936e+00 0.000000e+00 0.000000e+00 1.000000e+00 2.729905e-03"
+    V2C = "0.0 -1.0 0.0 0.0 0.0 0.0 -1.0 0.0 1.0 0.0 0.0 0.0"
+    R0 = "1.0 0.0 0.0 0.0 1.0 0.0 0.0 0.0 1.0"
+    P0 = "7.070493e+02 0.000000e+00 6.040814e+02 0.000000e+00 0.000000e+00 7.070493e+02 1.805066e+02 0.000000e+00 0.000000e+00 0.000000e+00 1.000000e+00 0.000000e+00"
+    return (
+        f"P0: {P0}\nP1: {P0}\nP2: {P2}\nP3: {P3}\n"
+        f"R0_rect: {R0}\nTr_velo_to_cam: {V2C}\n"
+    )
+
+
+def random_car_box(rng: np.random.Generator) -> np.ndarray:
+    """[h, w, l, x, y, z, ry] bottom-centered, in front of the camera."""
+    z = rng.uniform(12.0, 35.0)
+    x = rng.uniform(-0.25, 0.25) * z * 0.5
+    return np.array(
+        [
+            rng.uniform(1.4, 1.7),
+            rng.uniform(1.5, 1.8),
+            rng.uniform(3.3, 4.3),
+            x,
+            1.65 + rng.normal() * 0.05,
+            z,
+            rng.uniform(-np.pi, np.pi),
+        ],
+        dtype=np.float32,
+    )
+
+
+def render_scene(boxes3d: np.ndarray, calib: Calibration, rng) -> np.ndarray:
+    """Shaded-quad rendering of boxes over a smooth background."""
+    yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
+    img = (40 + 30 * np.sin(xx / 97.0) * np.cos(yy / 53.0)).astype(np.float32)
+    img = np.stack([img, img * 1.05, img * 0.95], axis=-1)
+    order = np.argsort(-boxes3d[:, 5])  # far to near
+    for bi in order:
+        box = boxes3d[bi]
+        corners = gbox.box_corners_cam(box)  # [8, 3]
+        uv = calib.rect_to_image(corners)
+        shade = 90 + 110 * ((bi * 2654435761) % 97) / 97.0
+        faces = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4), (2, 3, 7, 6), (0, 2, 6, 4)]
+        for fi, f in enumerate(faces):
+            poly = uv[list(f)]
+            _fill_poly(img, poly, shade * (0.7 + 0.1 * fi))
+    img += rng.normal(size=img.shape) * 4.0
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _fill_poly(img, poly, value):
+    x0 = max(int(np.floor(poly[:, 0].min())), 0)
+    x1 = min(int(np.ceil(poly[:, 0].max())), IMG_W - 1)
+    y0 = max(int(np.floor(poly[:, 1].min())), 0)
+    y1 = min(int(np.ceil(poly[:, 1].max())), IMG_H - 1)
+    if x1 <= x0 or y1 <= y0:
+        return
+    # convex-ish fill: use the bounding box interior weighted toward center
+    img[y0:y1, x0:x1] = 0.5 * img[y0:y1, x0:x1] + 0.5 * value
+
+
+def surface_points(box: np.ndarray, rng, n: int = 400) -> np.ndarray:
+    """LiDAR-like points on the camera-facing surfaces of a box (rect frame)."""
+    h, w, l = box[0], box[1], box[2]
+    u = rng.uniform(-0.5, 0.5, size=(n, 2))
+    face = rng.integers(0, 3, size=n)
+    pts = np.zeros((n, 3))
+    # object frame (x along length, y up-down [-h, 0], z along width)
+    pts[:, 0] = np.where(face == 0, -0.5 * l, u[:, 0] * l)
+    pts[:, 1] = np.where(face == 2, -h, (u[:, 1] * 0.5 - 0.5) * h)
+    pts[:, 2] = np.where(face == 1, -0.5 * w, u[:, 1] * w * 0.5)
+    pts[:, 1] = np.where(face != 2, (u[:, 1] - 0.5) * h, -h)
+    R = gbox.rot_y(box[6])
+    return (R @ pts.T).T + box[3:6]
+
+
+def make_synthetic_kitti(
+    root: str,
+    num_frames: int = 2,
+    boxes_per_frame: int = 3,
+    seed: int = 0,
+    split: str = "val",
+) -> List[np.ndarray]:
+    """Write a synthetic KITTI tree under ``root``; returns per-frame GT
+    box arrays."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "training")
+    for d in ("image_2", "image_3", "calib", "label_2", "velodyne"):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+
+    cl = Calibration.default()
+    cr = Calibration.default_right()
+    all_boxes = []
+    for fi in range(num_frames):
+        name = f"{fi:06d}"
+        boxes = np.stack([random_car_box(rng) for _ in range(boxes_per_frame)])
+        all_boxes.append(boxes)
+        img_l = render_scene(boxes, cl, rng)
+        img_r = render_scene(boxes, cr, rng)
+        cv2.imwrite(
+            os.path.join(base, "image_2", name + ".png"),
+            cv2.cvtColor(img_l, cv2.COLOR_RGB2BGR),
+        )
+        cv2.imwrite(
+            os.path.join(base, "image_3", name + ".png"),
+            cv2.cvtColor(img_r, cv2.COLOR_RGB2BGR),
+        )
+        with open(os.path.join(base, "calib", name + ".txt"), "w") as f:
+            f.write(_calib_text())
+        # labels
+        lines = []
+        for b in boxes:
+            uv = cl.rect_to_image(gbox.box_corners_cam(b))
+            box2d = np.array(
+                [uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()]
+            )
+            box2d = np.clip(box2d, 0, [IMG_W - 1, IMG_H - 1, IMG_W - 1, IMG_H - 1])
+            lab = KittiLabel(
+                type="Car",
+                truncation=0.0,
+                occlusion=0,
+                alpha=ry_to_alpha(b[3], b[5], b[6]),
+                box2d=box2d.astype(np.float32),
+                box3d=b,
+            )
+            lines.append(format_label(lab))
+        with open(os.path.join(base, "label_2", name + ".txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        # lidar: box surfaces + ground plane, in velodyne frame
+        pts_rect = np.concatenate(
+            [surface_points(b, rng) for b in boxes]
+            + [
+                np.stack(
+                    [
+                        rng.uniform(-20, 20, 2000),
+                        np.full(2000, 1.7),
+                        rng.uniform(5, 45, 2000),
+                    ],
+                    axis=1,
+                )
+            ]
+        )
+        pts_velo = cl.rect_to_velo(pts_rect)
+        pc = np.zeros((len(pts_velo), 4), np.float32)
+        pc[:, :3] = pts_velo
+        pc[:, 3] = 0.5
+        pc.tofile(os.path.join(base, "velodyne", name + ".bin"))
+
+    with open(os.path.join(root, split + ".txt"), "w") as f:
+        f.write("\n".join(f"{i:06d}" for i in range(num_frames)) + "\n")
+    return all_boxes
+
+
+def write_predictions(
+    out_dir: str,
+    all_boxes: List[np.ndarray],
+    noise: float = 0.25,
+    seed: int = 1,
+) -> None:
+    """Noisy copies of the GT as a fake detector's proposal files."""
+    rng = np.random.default_rng(seed)
+    cl = Calibration.default()
+    os.makedirs(out_dir, exist_ok=True)
+    for fi, boxes in enumerate(all_boxes):
+        lines = []
+        for b in boxes:
+            p = b.copy()
+            p[3] += rng.normal() * noise
+            p[5] += rng.normal() * noise
+            p[6] += rng.normal() * 0.08
+            uv = cl.rect_to_image(gbox.box_corners_cam(p))
+            box2d = np.clip(
+                np.array([uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()]),
+                0,
+                [IMG_W - 1, IMG_H - 1, IMG_W - 1, IMG_H - 1],
+            )
+            lab = KittiLabel(
+                type="Car",
+                truncation=0.0,
+                occlusion=0,
+                alpha=ry_to_alpha(p[3], p[5], p[6]),
+                box2d=box2d.astype(np.float32),
+                box3d=p,
+                score=float(rng.uniform(0.5, 1.0)),
+            )
+            lines.append(format_label(lab))
+        with open(os.path.join(out_dir, f"{fi:06d}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")

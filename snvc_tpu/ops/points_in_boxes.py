@@ -77,7 +77,10 @@ def occupancy_targets(
     """
     nh, nw, nl = grid_resolution
     gh, gw, gl = grid_range
-    spa = jnp.array([gh / nh, gw / nw, gl / nl])
+    # voxel pitch follows the linspace grid convention: n points span the
+    # range, so pitch = range / (n - 1); index = local/pitch + (n-1)/2
+    # lands point k of the grid exactly on index k
+    spa = jnp.array([gh / (nh - 1), gw / (nw - 1), gl / (nl - 1)])
 
     in_roi = points_in_cuboid_jnp(points, sample, extra_dims=(gh, gw, gl))
     in_gt = points_in_cuboid_jnp(points, gt_box)

@@ -1,0 +1,153 @@
+"""End-to-end instance pipeline test on a synthetic KITTI tree."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from snvc_tpu.config import tiny_vernier_config
+from snvc_tpu.data.instance_db import (
+    build_db_from_gt,
+    build_db_from_predictions,
+)
+from snvc_tpu.data.kitti import KittiDataset
+from snvc_tpu.data.pipeline import RefinementPipeline
+from snvc_tpu.data.synthetic import make_synthetic_kitti, write_predictions
+from snvc_tpu.geometry.calib import read_label
+from snvc_tpu.inference.kitti_writer import PredictionWriter
+from snvc_tpu.inference.refine import RefineRunner
+from snvc_tpu.models.vernier import VernierScale
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    boxes = make_synthetic_kitti(root, num_frames=2, boxes_per_frame=2, seed=0)
+    pred_dir = os.path.join(root, "proposals")
+    write_predictions(pred_dir, boxes, noise=0.2)
+    return root, pred_dir, boxes
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return tiny_vernier_config(max_instances=2, image_size=(384, 1248))
+
+
+@pytest.fixture(scope="module")
+def model_and_params(tiny_cfg):
+    import jax.numpy as jnp
+
+    model = VernierScale(tiny_cfg)
+    H, W = tiny_cfg.resolution
+    nh, nw, nl = tiny_cfg.grid_resolution
+    P = nh * nw * nl
+    k = jax.random.PRNGKey(0)
+    params = model.init(
+        k,
+        jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, P, 2)),
+        jnp.zeros((1, P, 2)),
+    )
+    return model, params
+
+
+class TestDataLayer:
+    def test_dataset_and_scene(self, kitti_root):
+        root, _, boxes = kitti_root
+        ds = KittiDataset(root, "val")
+        assert len(ds) == 2
+        sc = ds.scene(0)
+        img = sc.load_image("left")
+        assert img.shape == (375, 1242, 3)
+        labels = sc.labels()
+        assert len(labels) == 2
+        lidar = sc.lidar()
+        assert lidar.shape[1] == 4
+
+    def test_db_from_gt(self, kitti_root, tiny_cfg):
+        root, _, _ = kitti_root
+        ds = KittiDataset(root, "val")
+        db = build_db_from_gt(ds, tiny_cfg)
+        assert len(db) == 4
+        assert db[0].label is not None and db[0].pred is None
+
+    def test_db_from_predictions(self, kitti_root, tiny_cfg):
+        root, pred_dir, _ = kitti_root
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, tiny_cfg, pred_dir)
+        assert len(db) == 4
+        assert db[0].pred is not None
+        assert np.isfinite(db[0].score)
+
+    def test_pipeline_batches(self, kitti_root, tiny_cfg):
+        root, pred_dir, _ = kitti_root
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, tiny_cfg, pred_dir)
+        pipe = RefinementPipeline(db, tiny_cfg, training=False)
+        batches = list(pipe.batches())
+        assert len(batches) == 2  # 2 frames x 2 instances, 2 per batch
+        b = batches[0]
+        assert b.images_left.shape == (1, 384, 1248, 3)
+        assert b.samples.shape == (2, 7)
+        assert b.valid.all()
+        # crop affine maps the proposal center projection inside the ROI
+        uvw = np.concatenate([b.samples[0, 3:6], [1.0]]) @ b.P_left[0].T
+        uv = uvw[:2] / uvw[2]
+        roi_uv = b.trans_l[0, :, :2] @ uv + b.trans_l[0, :, 2]
+        H, W = tiny_cfg.resolution
+        assert 0 <= roi_uv[0] <= W and 0 <= roi_uv[1] <= H
+
+    def test_training_batches_have_points(self, kitti_root, tiny_cfg):
+        root, _, _ = kitti_root
+        ds = KittiDataset(root, "val")
+        cfg = tiny_cfg.replace(usage="train", sup_type="synthetic")
+        db = build_db_from_gt(ds, cfg)
+        pipe = RefinementPipeline(db, cfg, training=True)
+        b = next(pipe.batches())
+        assert b.points_valid.any()
+        assert b.gt_boxes[b.valid].any()
+        # perturbed samples differ from GT but stay close
+        d = np.abs(b.samples[b.valid] - b.gt_boxes[b.valid])
+        assert d.max() > 0
+        assert d[:, 3:6].max() < 1.5
+
+
+class TestEndToEnd:
+    def test_inference_and_writer(self, kitti_root, tiny_cfg, model_and_params):
+        root, pred_dir, _ = kitti_root
+        model, params = model_and_params
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, tiny_cfg, pred_dir)
+        pipe = RefinementPipeline(db, tiny_cfg, training=False)
+        runner = RefineRunner(model, params, tiny_cfg)
+        writer = PredictionWriter(tiny_cfg, pred_types=("all_parts", "one_part"))
+        runner.run(pipe, writer=writer, progress=False)
+        out_dir = os.path.join(root, "outputs")
+        writer.write(out_dir)
+        files = sorted(os.listdir(os.path.join(out_dir, "all_parts", "data")))
+        assert files == ["000000.txt", "000001.txt"]
+        labels = read_label(os.path.join(out_dir, "all_parts", "data", files[0]))
+        assert len(labels) == 2
+        assert labels[0].type == "Car"
+        assert labels[0].score is not None
+        # refined boxes stay in the vicinity of the proposals
+        prop = read_label(os.path.join(pred_dir, "000000.txt"))
+        d = np.abs(labels[0].box3d[3:6] - prop[0].box3d[3:6])
+        assert d.max() < 3.0
+
+    def test_losses_with_targets(self, kitti_root, tiny_cfg, model_and_params):
+        root, _, _ = kitti_root
+        model, params = model_and_params
+        ds = KittiDataset(root, "val")
+        cfg = tiny_cfg.replace(usage="train", sup_type="synthetic")
+        db = build_db_from_gt(ds, cfg)
+        pipe = RefinementPipeline(db, cfg, training=True)
+        runner = RefineRunner(model, params, cfg)
+        logs = runner.run(pipe, with_targets=True, progress=False, max_batches=1)
+        assert len(logs) == 1
+        for k, v in logs[0].items():
+            assert np.isfinite(v), k
+        assert logs[0]["total"] > 0
