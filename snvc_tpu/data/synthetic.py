@@ -214,3 +214,56 @@ def write_predictions(
             lines.append(format_label(lab))
         with open(os.path.join(out_dir, f"{fi:06d}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
+
+
+def synthetic_batch_arrays(cfg, seed: int = 0, frames: int = 1):
+    """Directly build a geometry-consistent InstanceBatch array dict (no
+    files): random boxes in front of the default stereo calib, noisy
+    proposals, surface point clouds.  Used by tests, the multi-chip
+    dry-run, and the benchmark."""
+    from snvc_tpu.data.pipeline import crop_transforms, select_points
+
+    rng = np.random.default_rng(seed)
+    I = cfg.max_instances
+    img_h, img_w = cfg.image_size
+    cl = Calibration.default()
+    cr = Calibration.default_right()
+
+    images_left = rng.integers(0, 255, size=(frames, img_h, img_w, 3), dtype=np.uint8)
+    images_right = rng.integers(0, 255, size=(frames, img_h, img_w, 3), dtype=np.uint8)
+    P_left = np.tile(cl.as_array()[None], (frames, 1, 1)).astype(np.float32)
+    P_right = np.tile(cr.as_array()[None], (frames, 1, 1)).astype(np.float32)
+
+    samples = np.zeros((I, 7), np.float32)
+    gt_boxes = np.zeros((I, 7), np.float32)
+    trans_l = np.tile(np.eye(2, 3, dtype=np.float32), (I, 1, 1))
+    trans_r = trans_l.copy()
+    Np = 1024
+    points = np.zeros((I, Np, 3), np.float32)
+    points_valid = np.zeros((I, Np), bool)
+    for k in range(I):
+        gt = random_car_box(rng)
+        prop = gt.copy()
+        prop[3] += rng.normal() * 0.2
+        prop[5] += rng.normal() * 0.2
+        prop[6] += rng.normal() * 0.05
+        gt_boxes[k] = gt
+        samples[k] = prop
+        trans_l[k], trans_r[k] = crop_transforms(prop, cl, cr, cfg)
+        pc = surface_points(gt, rng, n=600).astype(np.float32)
+        points[k], points_valid[k] = select_points(pc, prop, cfg, Np)
+
+    return dict(
+        images_left=images_left,
+        images_right=images_right,
+        P_left=P_left,
+        P_right=P_right,
+        image_idx=rng.integers(0, frames, size=I).astype(np.int32),
+        trans_l=trans_l,
+        trans_r=trans_r,
+        samples=samples,
+        valid=np.ones(I, bool),
+        gt_boxes=gt_boxes,
+        points=points,
+        points_valid=points_valid,
+    )

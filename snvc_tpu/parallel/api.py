@@ -1,0 +1,75 @@
+"""Device-mesh parallelism for snvc_tpu.
+
+The reference's only parallelism is single-process DataParallel
+(tools/inference_agnostic.py:472, SURVEY.md §2.3).  Here scaling is a
+single pjit program over a jax.sharding.Mesh:
+
+  * axis "data": instances (Vernier) or stereo pairs (global model) are
+    sharded across ICI; gradients all-reduce via XLA-inserted psums,
+  * axis "model": optional tensor parallelism — sharding constraints on
+    the voxel/cost-volume channel axis let XLA partition the 3D convs,
+
+with no explicit communication library — the XLA runtime is the backend.
+Multi-host runs initialize jax.distributed and use the same code path
+(DCN between hosts, ICI within).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int = -1, n_model: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data == -1:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+    )
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+# Per-field layout of an InstanceBatch: instance-indexed arrays shard over
+# "data"; frame-level images and calibs are replicated (each data shard
+# gathers its own ROIs from the same frame).
+_INSTANCE_FIELDS = (
+    "image_idx",
+    "trans_l",
+    "trans_r",
+    "samples",
+    "valid",
+    "gt_boxes",
+    "points",
+    "points_valid",
+)
+
+
+def instance_batch_specs() -> Dict[str, P]:
+    specs = {k: P("data") for k in _INSTANCE_FIELDS}
+    for k in ("images_left", "images_right", "P_left", "P_right"):
+        specs[k] = P()
+    return specs
+
+
+def shard_instance_batch(arrays: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    specs = instance_batch_specs()
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in arrays.items()
+    }
