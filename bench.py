@@ -1,0 +1,118 @@
+"""Benchmark: instance-refinement throughput on one chip.
+
+Measures the fully-jitted end-to-end refinement step (on-device ROI warp +
+grid projection + VernierScale forward + NCF->pose update) in instances
+per second, the framework's north-star serving metric (BASELINE.md: the
+reference publishes no numbers; its documented operating point is
+batch<=10 on a 12 GB TITAN Xp).
+
+vs_baseline uses a reference anchor of 10 instances/sec — a generous
+estimate for the reference model at batch 10 on its documented GPU — until
+a measured reference number exists (BASELINE.md measurement plan).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_ANCHOR_INSTANCES_PER_SEC = 10.0
+
+
+def build(config: str):
+    from snvc_tpu.config import VernierConfig, BackboneConfig
+
+    if config == "flagship":
+        # full release-scale geometry (32 x 192 x 192 grid, hrnet-w32)
+        cfg = VernierConfig(
+            backbone=BackboneConfig(name="hrnet-w32"),
+            grid_resolution=(32, 192, 192),
+            x_range=(-1.6, 1.6),
+            y_range=(-1.0, 1.0),
+            z_range=(-1.6, 1.6),
+            resolution=(256, 256),
+            max_instances=4,
+            compute_dtype="bfloat16",
+            remat=True,
+        )
+    elif config == "small":
+        cfg = VernierConfig(
+            backbone=BackboneConfig(name="hrnet-w32"),
+            grid_resolution=(16, 96, 96),
+            resolution=(256, 256),
+            max_instances=8,
+            compute_dtype="bfloat16",
+            remat=True,
+        )
+    else:  # tiny smoke
+        from snvc_tpu.config import tiny_vernier_config
+
+        cfg = tiny_vernier_config(max_instances=4, image_size=(128, 256))
+    return cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="small", choices=["tiny", "small", "flagship"])
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+
+    from snvc_tpu.data.synthetic import synthetic_batch_arrays
+    from snvc_tpu.inference.refine import RefineRunner
+    from snvc_tpu.models.vernier import VernierScale
+    import jax.numpy as jnp
+
+    cfg = build(args.config)
+    model = VernierScale(cfg)
+    H, W = cfg.resolution
+    nh, nw, nl = cfg.grid_resolution
+    P = nh * nw * nl
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, P, 2)),
+        jnp.zeros((1, P, 2)),
+    )
+    runner = RefineRunner(model, params, cfg)
+
+    from snvc_tpu.data.pipeline import InstanceBatch
+
+    arrays = synthetic_batch_arrays(cfg, seed=0)
+    batch = InstanceBatch(**arrays, scene_names=["000000"] * cfg.max_instances,
+                          box2d=np.zeros((cfg.max_instances, 4), np.float32),
+                          scores=np.ones(cfg.max_instances, np.float32))
+
+    # warmup/compile
+    out = runner.step(batch)
+    assert np.all(np.isfinite(out["all_parts"])), "non-finite refinement output"
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = runner.step(batch)
+    dt = time.perf_counter() - t0
+    inst_per_sec = cfg.max_instances * args.iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"vernier_refinement_throughput_{args.config}",
+                "value": round(inst_per_sec, 2),
+                "unit": "instances/sec/chip",
+                "vs_baseline": round(
+                    inst_per_sec / REFERENCE_ANCHOR_INSTANCES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
