@@ -64,6 +64,10 @@ def main():
 
     import jax
 
+    from snvc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from snvc_tpu.data.synthetic import synthetic_batch_arrays
     from snvc_tpu.inference.refine import RefineRunner
     from snvc_tpu.models.vernier import VernierScale

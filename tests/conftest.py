@@ -19,6 +19,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from snvc_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,152 @@
+"""Global stereo model tests: shapes, losses, decode roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from snvc_tpu.config import tiny_stereo_config
+from snvc_tpu.geometry.calib import Calibration
+from snvc_tpu.inference.detect import corners24_to_box3d, decode_proposals
+from snvc_tpu.models.stereo_losses import (
+    assign_targets,
+    depth_sl1_loss,
+    depth_w1_loss,
+    gt_corners_24,
+    rpn3d_loss,
+)
+from snvc_tpu.models.stereonet import StereoNet, bev_locations, depth_hypotheses
+from snvc_tpu.ops.frustum import depth_plane_coords, frustum_to_voxel
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_stereo_config()
+
+
+@pytest.fixture(scope="module")
+def stereo_out(cfg, ):
+    rng = np.random.default_rng(0)
+    model = StereoNet(cfg)
+    H, W = cfg.input_size
+    left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    Pl = jnp.asarray(Calibration.default().as_array()[None])
+    Pr = jnp.asarray(Calibration.default_right().as_array()[None])
+    variables = model.init(jax.random.PRNGKey(0), left, right, Pl, Pr)
+    out = model.apply(variables, left, right, Pl, Pr)
+    return cfg, out
+
+
+class TestFrustum:
+    def test_depth_plane_coords(self):
+        depths = jnp.array([2.0, 4.0, 6.0, 8.0])
+        d = depth_plane_coords(jnp.array([2.0, 5.0, 8.0, 100.0]), depths)
+        np.testing.assert_allclose(np.asarray(d), [0.0, 1.5, 3.0, 3.0], atol=1e-6)
+
+    def test_frustum_sampling_recovers_plane_values(self):
+        """A volume constant per depth-plane sampled at voxels with known
+        depth returns the plane value."""
+        D, H, W, C = 4, 8, 8, 2
+        depths = jnp.array([5.0, 10.0, 15.0, 20.0])
+        vol = jnp.broadcast_to(
+            jnp.arange(D, dtype=jnp.float32)[:, None, None, None], (D, H, W, C)
+        )[None]
+        P = jnp.asarray(Calibration.default().as_array()[None])
+        # voxel at image center, depth 10 -> plane 1
+        centers = jnp.array([[0.0, 1.0, 10.0]])
+        # scale u, v into the feature map: use stride so coords land inside
+        out = frustum_to_voxel(vol, P, depths, centers, feature_stride=160)
+        np.testing.assert_allclose(np.asarray(out)[0, 0], [1.0, 1.0], atol=1e-5)
+
+
+class TestStereoNet:
+    def test_output_shapes(self, stereo_out):
+        cfg, out = stereo_out
+        H, W = cfg.input_size
+        D = cfg.num_depths
+        nz, nx = cfg.bev_size
+        A, K = cfg.num_angles, cfg.num_classes
+        assert out["depth"].shape == (1, H // 4, W // 4)
+        assert out["depth_prob"].shape == (1, D, H // 4, W // 4)
+        assert out["cls"].shape == (1, nz, nx, A * K)
+        assert out["reg"].shape == (1, nz, nx, A * K * 24)
+        assert out["centerness"].shape == (1, nz, nx, A)
+        for k in ("depth", "cls", "reg", "centerness"):
+            assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+    def test_depth_in_range(self, stereo_out):
+        cfg, out = stereo_out
+        d = np.asarray(out["depth"])
+        assert d.min() >= cfg.min_depth - 1e-3
+        assert d.max() <= cfg.max_depth + 1e-3
+
+
+class TestTargetsAndLoss:
+    def test_assignment_positive_inside(self, cfg):
+        locations = jnp.asarray(bev_locations(cfg))
+        gt = jnp.array([[1.5, 1.6, 3.8, 0.0, 1.65, 10.0, 0.0]])
+        labels, reg, ctr = assign_targets(
+            locations, jnp.asarray(cfg.anchors_y), gt, jnp.ones(1, bool),
+            jnp.zeros(1, jnp.int32), cfg.num_classes,
+        )
+        pos = np.asarray(labels).sum(axis=1) > 0
+        locs = np.asarray(locations)
+        # positives are exactly the cells inside the footprint
+        inside = (np.abs(locs[:, 0] - 0.0) < 1.9) & (np.abs(locs[:, 1] - 10.0) < 0.8)
+        assert pos.sum() > 0
+        assert np.array_equal(pos, inside)
+        # centerness peaks at the center cell
+        c = np.asarray(ctr)
+        assert c[pos].max() > c[pos].min()
+        # reg target at a positive reconstructs the gt corners
+        i = int(np.argmax(c))
+        anchor = np.array([locs[i, 0], cfg.anchors_y[0], locs[i, 1]])
+        corners = np.asarray(reg)[i, 0].reshape(8, 3) + anchor
+        want = np.asarray(gt_corners_24(gt))[0]
+        np.testing.assert_allclose(corners, want, atol=1e-5)
+
+    def test_rpn_loss_finite_and_supervised(self, cfg, stereo_out):
+        _, out = stereo_out
+        gt = jnp.array([[[1.5, 1.6, 3.8, 0.0, 1.65, 10.0, 0.3]]])
+        locations = jnp.asarray(bev_locations(cfg))
+        losses = rpn3d_loss(
+            out, gt, jnp.ones((1, 1), bool), jnp.zeros((1, 1), jnp.int32),
+            cfg, locations,
+        )
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert float(losses["num_pos"]) > 0
+
+    def test_depth_losses(self, cfg):
+        rng = np.random.default_rng(0)
+        gt = jnp.asarray(rng.uniform(5, 15, (1, 8, 8)), jnp.float32)
+        pred = gt + 0.5
+        mask = jnp.ones((1, 8, 8), bool)
+        # |err| = 0.5 < beta=1 -> 0.5 * err^2 / beta = 0.125
+        assert float(depth_sl1_loss(pred, gt, mask)) == pytest.approx(0.125, abs=1e-5)
+        depths = jnp.asarray(depth_hypotheses(cfg))
+        prob = jnp.full((1, cfg.num_depths, 8, 8), 1.0 / cfg.num_depths)
+        w1 = float(depth_w1_loss(prob, depths, gt, mask))
+        assert w1 > 0 and np.isfinite(w1)
+
+
+class TestDecode:
+    def test_corner_roundtrip(self):
+        boxes = jnp.array(
+            [
+                [1.5, 1.7, 4.0, 2.0, 1.6, 20.0, 0.4],
+                [1.4, 1.6, 3.6, -3.0, 1.7, 35.0, -2.0],
+            ]
+        )
+        corners = gt_corners_24(boxes).reshape(2, 24)
+        back = corners24_to_box3d(corners)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), atol=1e-5)
+
+    def test_decode_proposals_shapes(self, cfg, stereo_out):
+        _, out = stereo_out
+        boxes, scores, valid = decode_proposals(out, cfg, max_boxes=16)
+        assert boxes.shape == (1, 16, 7)
+        assert scores.shape == (1, 16)
+        assert np.all(np.isfinite(np.asarray(boxes)))
