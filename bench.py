@@ -15,11 +15,18 @@ Prints exactly one JSON line:
 """
 
 import argparse
+import contextlib
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# make a CPU backend available next to the TPU so parameter init runs
+# host-side (eager/jitted init through the axon tunnel is minutes-slow)
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
 
 REFERENCE_ANCHOR_INSTANCES_PER_SEC = 10.0
 
@@ -78,13 +85,20 @@ def main():
     H, W = cfg.resolution
     nh, nw, nl = cfg.grid_resolution
     P = nh * nw * nl
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, H, W, 3)),
-        jnp.zeros((1, H, W, 3)),
-        jnp.zeros((1, P, 2)),
-        jnp.zeros((1, P, 2)),
-    )
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, P, 2)),
+            jnp.zeros((1, P, 2)),
+        )
+    params = jax.device_put(params, jax.devices()[0])
     runner = RefineRunner(model, params, cfg)
 
     from snvc_tpu.data.pipeline import InstanceBatch

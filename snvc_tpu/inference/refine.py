@@ -1,10 +1,17 @@
-"""End-to-end jitted refinement step + host driver.
+"""End-to-end jitted refinement + host driver.
 
-One compiled XLA program covers the reference's whole per-batch path
-(tools/inference_agnostic.py:366-432): device-side batch assembly (ROI
-warps + grid projection), the Vernier forward, the NCF->pose update, and —
-when targets are present — the loss report.  The host only feeds padded
-numpy batches and collects [I, 7] refined boxes.
+Covers the reference's whole per-batch path
+(tools/inference_agnostic.py:366-432) on device: batch assembly (ROI warps
++ grid projection), the Vernier forward, the NCF->pose update, and — when
+targets are present — the loss report.
+
+The pipeline is deliberately split into THREE chained XLA programs
+(assemble+encode | 3D head | update+losses): device arrays flow between
+them with no host sync, while keeping each program small — fusing the 2D
+extractor and the 3D conv stack into one program inflates TPU compile time
+from ~40 s to tens of minutes (measured on v5e).  ``monolithic=True``
+restores the single-program path (used by training, where autodiff needs
+one traced function anyway).
 """
 
 from __future__ import annotations
@@ -19,7 +26,12 @@ import numpy as np
 from snvc_tpu.config import VernierConfig
 from snvc_tpu.data.pipeline import InstanceBatch
 from snvc_tpu.models.losses import vernier_losses
-from snvc_tpu.models.vernier import VernierScale
+from snvc_tpu.models.vernier import (
+    VernierEncoder,
+    VernierHead,
+    VernierScale,
+    scope_variables,
+)
 from snvc_tpu.ops.assemble import assemble_instances, make_grid_local, make_targets
 from snvc_tpu.ops.registration import ncf_to_update
 
@@ -32,7 +44,7 @@ def refinement_step(
     grid_local,
     with_targets: bool = False,
 ):
-    """Pure function: batch arrays -> updates (+ losses).  jit/pjit me."""
+    """Single-program step (training / dryrun).  jit/pjit me."""
     left, right, gpl, gpr = assemble_instances(
         batch["images_left"],
         batch["images_right"],
@@ -46,6 +58,10 @@ def refinement_step(
         cfg,
     )
     outputs = model.apply(params, left, right, gpl, gpr)
+    return _finalize(outputs, batch, cfg, grid_local, with_targets)
+
+
+def _finalize(outputs, batch, cfg, grid_local, with_targets):
     upd = ncf_to_update(
         outputs["ncf"],
         batch["samples"],
@@ -76,29 +92,88 @@ def refinement_step(
 
 
 class RefineRunner:
-    """Compiles and drives the refinement step over a pipeline."""
+    """Compiles and drives the refinement pipeline."""
 
-    def __init__(self, model: VernierScale, params, cfg: VernierConfig):
+    def __init__(self, model: VernierScale, params, cfg: VernierConfig,
+                 monolithic: bool = False):
         self.model = model
         self.params = params
         self.cfg = cfg
         self.grid_local = jnp.asarray(make_grid_local(cfg))
-        self._step = {}
+        self.monolithic = monolithic
+        self.encoder = VernierEncoder(cfg)
+        self.head = VernierHead(cfg)
+        self._progs = {}
 
-    def step(self, batch: InstanceBatch, with_targets: bool = False) -> Dict:
-        key = bool(with_targets)
-        if key not in self._step:
-            self._step[key] = jax.jit(
-                functools.partial(
-                    refinement_step,
-                    model=self.model,
-                    cfg=self.cfg,
-                    grid_local=self.grid_local,
-                    with_targets=key,
-                )
+    # -- split-program path -------------------------------------------
+    def _build_programs(self, with_targets: bool):
+        cfg, grid_local = self.cfg, self.grid_local
+
+        @jax.jit
+        def encode(enc_vars, batch):
+            left, right, gpl, gpr = assemble_instances(
+                batch["images_left"],
+                batch["images_right"],
+                batch["image_idx"],
+                batch["trans_l"],
+                batch["trans_r"],
+                batch["samples"],
+                batch["P_left"],
+                batch["P_right"],
+                grid_local,
+                cfg,
             )
-        out = self._step[key](self.params, batch.arrays())
-        return jax.tree.map(np.asarray, out)
+            return self.encoder.apply(enc_vars, left, right, gpl, gpr)
+
+        @jax.jit
+        def heads(head_vars, voxel):
+            return self.head.apply(head_vars, voxel)
+
+        @functools.partial(jax.jit, static_argnames=("wt",))
+        def finalize(outputs, batch, wt):
+            return _finalize(outputs, batch, cfg, grid_local, wt)
+
+        return encode, heads, finalize
+
+    # outputs pulled to host by default: the serving payload only — the
+    # dense NCF/occupancy stay on device unless asked for (their transfer
+    # dominates step latency through the axon tunnel)
+    HOST_OUTPUTS = ("one_part", "all_parts", "confidence", "keep", "losses")
+
+    def step(
+        self,
+        batch: InstanceBatch,
+        with_targets: bool = False,
+        host_outputs=None,
+    ) -> Dict:
+        arrays = batch.arrays()
+        if self.monolithic:
+            key = ("mono", with_targets)
+            if key not in self._progs:
+                self._progs[key] = jax.jit(
+                    functools.partial(
+                        refinement_step,
+                        model=self.model,
+                        cfg=self.cfg,
+                        grid_local=self.grid_local,
+                        with_targets=with_targets,
+                    )
+                )
+            out = self._progs[key](self.params, arrays)
+        else:
+            if "split" not in self._progs:
+                self._progs["split"] = self._build_programs(with_targets)
+            encode, heads, finalize = self._progs["split"]
+            enc_vars = scope_variables(self.params, "encoder")
+            head_vars = scope_variables(self.params, "head")
+            voxel = encode(enc_vars, arrays)
+            outputs = heads(head_vars, voxel)
+            out = finalize(outputs, arrays, with_targets)
+        wanted = self.HOST_OUTPUTS if host_outputs is None else host_outputs
+        return {
+            k: (jax.tree.map(np.asarray, v) if (k in wanted and v is not None) else v)
+            for k, v in out.items()
+        }
 
     def run(
         self,

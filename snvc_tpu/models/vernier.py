@@ -81,7 +81,13 @@ def _coord_maps(n, nl, nw, dtype):
     return jnp.broadcast_to(m[None], (n, nl, nw, 2))
 
 
-class VernierScale(nn.Module):
+class VernierEncoder(nn.Module):
+    """ROIs -> object-centric voxel: shared HRNet on both views + stereo
+    grid sampling (vernier.py:471-477).  Kept as its own module so
+    inference can jit it separately from the 3D head — fusing the 2D
+    extractor with the 3D conv stack in one XLA program inflates TPU
+    compile time by an order of magnitude."""
+
     cfg: VernierConfig
 
     @property
@@ -89,28 +95,14 @@ class VernierScale(nn.Module):
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
 
     @nn.compact
-    def __call__(
-        self,
-        left_roi,
-        right_roi,
-        grid_proj_left,
-        grid_proj_right,
-        train: bool = False,
-    ):
-        """left_roi/right_roi: [N, H, W, 3] normalized ROIs;
-        grid_proj_*: [N, nh*nw*nl, 2] projected grid points in ROI pixels.
-
-        Returns dict with 'ncf' [N, P, nl, nw], 'occupancy' [N, nh, nw, nl],
-        'offset' (part regression or None), 'coordinates' [N, P, 2] or None,
-        'bbox' [N, 5] or None.
-        """
+    def __call__(self, left_roi, right_roi, grid_proj_left, grid_proj_right,
+                 train: bool = False):
         cfg = self.cfg
         dt = self.dtype
-        # one shared 2D extractor applied to both views (vernier.py:471-472)
         feat_net = HRNet(cfg.backbone, head_type="default", dtype=dt)
         left_feat = feat_net(left_roi.astype(dt), train)
         right_feat = feat_net(right_roi.astype(dt), train)
-        voxel = sample_stereo_voxel(
+        return sample_stereo_voxel(
             left_feat,
             right_feat,
             grid_proj_left,
@@ -118,6 +110,19 @@ class VernierScale(nn.Module):
             cfg.resolution,
             cfg.grid_resolution,
         )
+
+
+class VernierHead(nn.Module):
+    """Voxel -> NCF / occupancy / coordinates (vernier.py:362-458)."""
+
+    cfg: VernierConfig
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @nn.compact
+    def __call__(self, voxel, train: bool = False):
         out = self._predict(voxel, train)
         # emit fp32 outputs regardless of compute dtype
         return {
@@ -261,6 +266,40 @@ class VernierScale(nn.Module):
                                dtype=self.dtype)(flat, train)
         return dict(ncf=ncf, occupancy=occupancy, offset=offset,
                     coordinates=coordinates, bbox=bbox)
+
+
+class VernierScale(nn.Module):
+    """Full instance model: encoder + head (reference VernierScale,
+    vernier.py:26-555).
+
+    For inference, apply the children separately through their scoped
+    variables to keep XLA programs small::
+
+        vox = VernierEncoder(cfg).apply(scope_variables(vars, "encoder"), ...)
+        out = VernierHead(cfg).apply(scope_variables(vars, "head"), vox)
+    """
+
+    cfg: VernierConfig
+
+    def setup(self):
+        self.encoder = VernierEncoder(self.cfg)
+        self.head = VernierHead(self.cfg)
+
+    def __call__(self, left_roi, right_roi, grid_proj_left, grid_proj_right,
+                 train: bool = False):
+        voxel = self.encoder(
+            left_roi, right_roi, grid_proj_left, grid_proj_right, train
+        )
+        return self.head(voxel, train)
+
+
+def scope_variables(variables, name: str):
+    """Slice a VernierScale variables dict down to one child module."""
+    out = {}
+    for col, tree in variables.items():
+        if name in tree:
+            out[col] = tree[name]
+    return out
 
 
 def get_model(cfg: VernierConfig) -> VernierScale:

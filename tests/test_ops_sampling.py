@@ -119,3 +119,26 @@ class TestAffineResample:
         t = imgproc.crop_affine(np.array([32.0, 32.0]), np.array([20.0, 20.0]), (16, 16))
         got = np.asarray(affine_resample(jnp.array(img), jnp.array(t[None]), (16, 16)))[0]
         np.testing.assert_allclose(got, 3.25, atol=1e-6)
+
+
+class TestSeparableWarp:
+    def test_matches_gather_path(self, rng):
+        from snvc_tpu.ops.warp import affine_resample
+
+        img = rng.random((64, 96, 3)).astype(np.float32)
+        t = imgproc.crop_affine(np.array([40.0, 30.0]), np.array([50.0, 50.0]), (32, 32))
+        a = np.asarray(affine_resample(jnp.array(img), jnp.array(t[None]), (32, 32),
+                                       separable=True))
+        b = np.asarray(affine_resample(jnp.array(img), jnp.array(t[None]), (32, 32),
+                                       separable=False))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_separable_out_of_range_zero(self, rng):
+        from snvc_tpu.ops.warp import affine_resample
+
+        img = np.ones((16, 16, 2), np.float32)
+        # crop box hanging off the top-left corner -> zero padding
+        t = imgproc.crop_affine(np.array([0.0, 0.0]), np.array([16.0, 16.0]), (8, 8))
+        out = np.asarray(affine_resample(jnp.array(img), jnp.array(t[None]), (8, 8)))
+        assert out[0, 0, 0, 0] == 0.0  # above/left of the image
+        assert out[0, -1, -1, 0] == 1.0  # inside
