@@ -112,9 +112,13 @@ def main():
     out = runner.step(batch)
     assert np.all(np.isfinite(out["all_parts"])), "non-finite refinement output"
 
+    # measure pipelined throughput: dispatch every step asynchronously
+    # (device arrays only), sync once at the end — how a serving loop runs
+    import jax as _jax
+
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = runner.step(batch)
+    outs = [runner.step(batch, host_outputs=()) for _ in range(args.iters)]
+    _jax.block_until_ready([o["all_parts"] for o in outs])
     dt = time.perf_counter() - t0
     inst_per_sec = cfg.max_instances * args.iters / dt
 
