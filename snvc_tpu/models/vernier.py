@@ -100,8 +100,25 @@ class VernierEncoder(nn.Module):
         cfg = self.cfg
         dt = self.dtype
         feat_net = HRNet(cfg.backbone, head_type="default", dtype=dt)
-        left_feat = feat_net(left_roi.astype(dt), train)
-        right_feat = feat_net(right_roi.astype(dt), train)
+        # one stacked pass over both views: same shared weights as the
+        # reference's two calls (vernier.py:471-472) but twice the batch
+        # for the MXU (and a single dispatch)
+        n = left_roi.shape[0]
+        both = jnp.concatenate(
+            [left_roi.astype(dt), right_roi.astype(dt)], axis=0
+        )
+        feats = feat_net(both, train)
+        left_feat, right_feat = feats[:n], feats[n:]
+        from snvc_tpu.ops.grid_sample_pallas import (
+            pallas_sampling_available,
+            sample_stereo_voxel_pallas,
+        )
+
+        if pallas_sampling_available(left_feat.shape, cfg.resolution):
+            return sample_stereo_voxel_pallas(
+                left_feat, right_feat, grid_proj_left, grid_proj_right,
+                cfg.resolution, cfg.grid_resolution,
+            )
         return sample_stereo_voxel(
             left_feat,
             right_feat,

@@ -32,10 +32,14 @@ def _gather_hw(feat_flat, iy, ix, H, W):
 
 
 def _grid_sample_one(feat, gx, gy):
-    """feat [H, W, C]; gx, gy [P] normalized coords. Returns [P, C]."""
+    """feat [H, W, C]; gx, gy [P] normalized coords. Returns [P, C].
+
+    Coordinates and weights stay float32 regardless of the feature dtype —
+    bf16 coordinates would quantize sample positions by ~0.1 px.
+    """
     H, W, C = feat.shape
-    x = ((gx + 1.0) * W - 1.0) * 0.5
-    y = ((gy + 1.0) * H - 1.0) * 0.5
+    x = ((gx.astype(jnp.float32) + 1.0) * W - 1.0) * 0.5
+    y = ((gy.astype(jnp.float32) + 1.0) * H - 1.0) * 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0).astype(feat.dtype)
@@ -93,9 +97,9 @@ def sample_stereo_voxel(
     """
     H, W = roi_hw
     nh, nw, nl = grid_resolution
-    scale = jnp.array([2.0 / W, 2.0 / H], dtype=left_feat.dtype)
-    gl = grid_proj_left.astype(left_feat.dtype) * scale - 1.0
-    gr = grid_proj_right.astype(left_feat.dtype) * scale - 1.0
+    scale = jnp.array([2.0 / W, 2.0 / H], dtype=jnp.float32)
+    gl = grid_proj_left.astype(jnp.float32) * scale - 1.0
+    gr = grid_proj_right.astype(jnp.float32) * scale - 1.0
     sl = grid_sample_2d(left_feat, gl)  # [N, P, C]
     sr = grid_sample_2d(right_feat, gr)
     if aggregate == "concat-atten":
