@@ -24,6 +24,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or _DEFAULT_DIR
     )
+    # per-backend subdir: CPU AOT artifacts compiled on a different host
+    # profile must not be offered to this host (SIGILL risk)
+    try:
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
+    except Exception:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     try:
