@@ -1,0 +1,136 @@
+"""Frame-level batching for the global stereo detector.
+
+Host work per frame: decode the stereo pair, pad to the static input size,
+parse calib/labels, and rasterize a sparse GT depth map from LiDAR (simple
+stride-4 z-buffer).  Everything else (cost volume, BEV heads, target
+assignment) runs on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from snvc_tpu.config import StereoConfig
+from snvc_tpu.data.kitti import KittiDataset, KittiScene
+from snvc_tpu.geometry.calib import filter_annotations
+
+
+@dataclass
+class StereoBatch:
+    images_left: np.ndarray  # [B, H, W, 3] uint8
+    images_right: np.ndarray
+    P_left: np.ndarray  # [B, 3, 4]
+    P_right: np.ndarray
+    gt_boxes: np.ndarray  # [B, G, 7]
+    gt_valid: np.ndarray  # [B, G]
+    gt_classes: np.ndarray  # [B, G]
+    depth_gt: np.ndarray  # [B, H/4, W/4] (-1 where unobserved)
+    scene_names: List[str] = None
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return dict(
+            images_left=self.images_left,
+            images_right=self.images_right,
+            P_left=self.P_left,
+            P_right=self.P_right,
+            gt_boxes=self.gt_boxes,
+            gt_valid=self.gt_valid,
+            gt_classes=self.gt_classes,
+            depth_gt=self.depth_gt,
+        )
+
+
+def rasterize_depth(pc_rect: np.ndarray, calib, hw, stride: int = 4) -> np.ndarray:
+    """Sparse z-buffer of LiDAR depths at feature stride (host, vectorized)."""
+    H, W = hw
+    Hs, Ws = H // stride, W // stride
+    uv = calib.rect_to_image(pc_rect)
+    z = pc_rect[:, 2]
+    u = np.floor(uv[:, 0] / stride).astype(np.int64)
+    v = np.floor(uv[:, 1] / stride).astype(np.int64)
+    ok = (z > 0.5) & (u >= 0) & (u < Ws) & (v >= 0) & (v < Hs)
+    u, v, z = u[ok], v[ok], z[ok]
+    depth = np.full(Hs * Ws, np.inf, np.float32)
+    np.minimum.at(depth, v * Ws + u, z.astype(np.float32))
+    depth[~np.isfinite(depth)] = -1.0
+    return depth.reshape(Hs, Ws)
+
+
+class StereoPipeline:
+    def __init__(
+        self,
+        dataset: KittiDataset,
+        cfg: StereoConfig,
+        batch_size: int = 1,
+        max_gt: int = 24,
+        training: bool = True,
+        valid_classes=(2,),
+    ):
+        self.ds = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.training = training
+        self.valid_classes = valid_classes
+
+    def __len__(self):
+        return int(np.ceil(len(self.ds) / self.batch_size))
+
+    def batches(self, shuffle: bool = False, seed: int = 0) -> Iterator[StereoBatch]:
+        order = np.arange(len(self.ds))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s in range(0, len(order), self.batch_size):
+            idxs = [self.ds.indices[i] for i in order[s : s + self.batch_size]]
+            if len(idxs) < self.batch_size:
+                idxs = idxs + [idxs[-1]] * (self.batch_size - len(idxs))
+            yield self.make_batch(idxs)
+
+    def make_batch(self, frame_indices: Sequence[int]) -> StereoBatch:
+        cfg = self.cfg
+        H, W = cfg.input_size
+        B = len(frame_indices)
+        G = self.max_gt
+        il = np.zeros((B, H, W, 3), np.uint8)
+        ir = np.zeros((B, H, W, 3), np.uint8)
+        Pl = np.zeros((B, 3, 4), np.float32)
+        Pr = np.zeros((B, 3, 4), np.float32)
+        boxes = np.zeros((B, G, 7), np.float32)
+        valid = np.zeros((B, G), bool)
+        classes = np.zeros((B, G), np.int32)
+        depth = np.full((B, H // 4, W // 4), -1.0, np.float32)
+        names = []
+        for b, idx in enumerate(frame_indices):
+            scene = self.ds.scene(idx)
+            names.append(scene.name)
+            img_l = scene.load_image("left")
+            img_r = scene.load_image("right")
+            h = min(img_l.shape[0], H)
+            w = min(img_l.shape[1], W)
+            il[b, :h, :w] = img_l[:h, :w]
+            ir[b, :h, :w] = img_r[:h, :w]
+            cl = scene.calibration("left")
+            cr = scene.calibration("right")
+            Pl[b] = cl.as_array()
+            Pr[b] = cr.as_array()
+            if self.training and scene.label_dir:
+                _, b3, cls, _ = filter_annotations(
+                    scene.labels(),
+                    valid_classes=self.valid_classes,
+                    depth_range=(cfg.z_min, cfg.z_max),
+                )
+                n = min(len(b3), G)
+                boxes[b, :n] = b3[:n]
+                valid[b, :n] = True
+                classes[b, :n] = 0  # single-class (Car) for now
+                pc = scene.lidar()[:, :3]
+                pc_rect = cl.velo_to_rect(pc).astype(np.float32)
+                depth[b] = rasterize_depth(pc_rect, cl, (H, W))
+        return StereoBatch(
+            images_left=il, images_right=ir, P_left=Pl, P_right=Pr,
+            gt_boxes=boxes, gt_valid=valid, gt_classes=classes,
+            depth_gt=depth, scene_names=names,
+        )

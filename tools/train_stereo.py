@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Train the global (main-scale) stereo detector.
+
+Example:
+  python tools/train_stereo.py --model_dir runs/stereo \
+      --data_path data/kitti --split train --steps 50000
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--steps", type=int, default=50000)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+
+    from snvc_tpu.config import StereoConfig, TrainConfig
+    from snvc_tpu.data.kitti import KittiDataset
+    from snvc_tpu.data.stereo_pipeline import StereoPipeline
+    from snvc_tpu.models.stereonet import StereoNet
+    from snvc_tpu.parallel.api import make_mesh
+    from snvc_tpu.training.train import save_checkpoint
+    from snvc_tpu.training.train_stereo import (
+        create_stereo_state,
+        make_stereo_train_step,
+    )
+    from snvc_tpu.utils import Experimenter, enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = StereoConfig()
+    tc = TrainConfig(lr=args.lr, total_steps=args.steps)
+    exp = Experimenter(args.model_dir, config=cfg)
+    log = exp.logger
+    metrics_out = exp.metrics_writer()
+
+    ds = KittiDataset(args.data_path, args.split)
+    pipe = StereoPipeline(ds, cfg, batch_size=args.batch_size)
+    model = StereoNet(cfg)
+    state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
+    step_fn = make_stereo_train_step(model, cfg, tc, mesh=mesh)
+
+    step = 0
+    while step < tc.total_steps:
+        for batch in pipe.batches(shuffle=True, seed=args.seed + step):
+            state, metrics = step_fn(state, batch.arrays())
+            step += 1
+            if step % args.log_every == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                metrics_out(step, vals)
+                log.info("step %d: %s", step,
+                         ", ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+            if step % tc.checkpoint_every == 0 or step >= tc.total_steps:
+                save_checkpoint(exp.checkpoint_dir, state, cfg, step)
+            if step >= tc.total_steps:
+                break
+    save_checkpoint(exp.checkpoint_dir, state, cfg, step)
+    log.info("done")
+
+
+if __name__ == "__main__":
+    main()
