@@ -78,6 +78,26 @@ class KittiScene:
             raise FileNotFoundError(path)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
+    def load_image_padded(self, camera: str, out_hw) -> np.ndarray:
+        """RGB uint8 [out_h, out_w, 3], zero padded/cropped.
+
+        Uses the native C++ decoder (cpp/dataloader.cpp) when available —
+        it decodes straight into the padded buffer with no Python copies.
+        """
+        from snvc_tpu.data import native_loader
+
+        path = self.left_image_path if camera == "left" else self.right_image_path
+        if os.environ.get("SNVC_NATIVE_LOADER", "1") != "0":
+            img = native_loader.decode_png_padded(path, out_hw)
+            if img is not None:
+                return img
+        src = self.load_image(camera)
+        out = np.zeros((out_hw[0], out_hw[1], 3), np.uint8)
+        h = min(src.shape[0], out_hw[0])
+        w = min(src.shape[1], out_hw[1])
+        out[:h, :w] = src[:h, :w]
+        return out
+
 
 class KittiDataset:
     """Split-aware KITTI object dataset (reference kitti_dataset.py:10-47)."""

@@ -168,16 +168,8 @@ class RefinementPipeline:
         img_h, img_w = cfg.image_size
         scene = records[0].scene
 
-        def load_pad(camera):
-            img = scene.load_image(camera)
-            out = np.zeros((img_h, img_w, 3), np.uint8)
-            h = min(img.shape[0], img_h)
-            w = min(img.shape[1], img_w)
-            out[:h, :w] = img[:h, :w]
-            return out
-
-        images_left = load_pad("left")[None]
-        images_right = load_pad("right")[None]
+        images_left = scene.load_image_padded("left", (img_h, img_w))[None]
+        images_right = scene.load_image_padded("right", (img_h, img_w))[None]
         P_left = records[0].calib_left.as_array()[None]
         P_right = records[0].calib_right.as_array()[None]
 

@@ -106,12 +106,8 @@ class StereoPipeline:
         for b, idx in enumerate(frame_indices):
             scene = self.ds.scene(idx)
             names.append(scene.name)
-            img_l = scene.load_image("left")
-            img_r = scene.load_image("right")
-            h = min(img_l.shape[0], H)
-            w = min(img_l.shape[1], W)
-            il[b, :h, :w] = img_l[:h, :w]
-            ir[b, :h, :w] = img_r[:h, :w]
+            il[b] = scene.load_image_padded("left", (H, W))
+            ir[b] = scene.load_image_padded("right", (H, W))
             cl = scene.calibration("left")
             cr = scene.calibration("right")
             Pl[b] = cl.as_array()
