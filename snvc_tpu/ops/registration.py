@@ -86,6 +86,7 @@ def ncf_to_update(
     Returns refined boxes; where the filter rejects, the sample is
     returned unchanged.
     """
+    samples = jnp.asarray(samples)
     N, P = ncf.shape[0], ncf.shape[1]
     nl, nw = ncf.shape[2], ncf.shape[3]
     flat = ncf.reshape(N, P, -1)
