@@ -1,0 +1,100 @@
+"""Two-stage integration: detect -> proposals -> refine -> evaluate.
+
+Exercises the complete reference pipeline shape (SURVEY.md §3.4 + §3.1)
+on synthetic data with untrained weights: the plumbing must hold end to
+end — decoded proposals become valid KITTI files, the refinement stage
+consumes them, and the C++ evaluator scores the result.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from snvc_tpu.config import tiny_stereo_config, tiny_vernier_config
+from snvc_tpu.data.instance_db import build_db_from_predictions
+from snvc_tpu.data.kitti import KittiDataset
+from snvc_tpu.data.pipeline import RefinementPipeline
+from snvc_tpu.data.stereo_pipeline import StereoPipeline
+from snvc_tpu.data.synthetic import make_synthetic_kitti
+from snvc_tpu.eval.kitti_ap import run_kitti_eval
+from snvc_tpu.geometry.calib import read_label
+from snvc_tpu.inference.detect import decode_proposals, proposals_to_kitti
+from snvc_tpu.inference.kitti_writer import PredictionWriter
+from snvc_tpu.inference.refine import RefineRunner
+from snvc_tpu.models.stereonet import StereoNet
+from snvc_tpu.models.vernier import VernierScale
+from snvc_tpu.training.train_stereo import normalize_images
+
+
+@pytest.mark.slow
+def test_two_stage_pipeline(tmp_path):
+    root = str(tmp_path)
+    make_synthetic_kitti(root, num_frames=1, boxes_per_frame=2, seed=2)
+    ds = KittiDataset(root, "val")
+
+    # ---- stage 1: global detector -> proposal files -------------------
+    scfg = tiny_stereo_config(z_max=38.0, max_depth=40.0)
+    spipe = StereoPipeline(ds, scfg, batch_size=1, training=False)
+    smodel = StereoNet(scfg)
+    batch = next(spipe.batches())
+    arrays = batch.arrays()
+    H, W = scfg.input_size
+    variables = smodel.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+        jnp.asarray(arrays["P_left"]), jnp.asarray(arrays["P_right"]),
+    )
+    out = smodel.apply(
+        variables,
+        normalize_images(jnp.asarray(arrays["images_left"])),
+        normalize_images(jnp.asarray(arrays["images_right"])),
+        jnp.asarray(arrays["P_left"]), jnp.asarray(arrays["P_right"]),
+    )
+    boxes, scores, valid = jax.tree.map(
+        np.asarray,
+        decode_proposals(out, scfg, max_boxes=8, score_threshold=0.0,
+                         nms_iou=0.5),
+    )
+    assert valid[0].any(), "untrained detector should still emit proposals"
+    scene = ds.scene(0)
+    lines = proposals_to_kitti(boxes[0], scores[0], valid[0],
+                               scene.calibration("left"))
+    pred_dir = os.path.join(root, "proposals")
+    os.makedirs(pred_dir, exist_ok=True)
+    with open(os.path.join(pred_dir, "000000.txt"), "w") as f:
+        f.write("\n".join(lines))
+    labels = read_label(os.path.join(pred_dir, "000000.txt"))
+    assert len(labels) >= 1
+    assert all(np.isfinite(l.box3d).all() for l in labels)
+
+    # ---- stage 2: refinement over the stage-1 proposals ---------------
+    vcfg = tiny_vernier_config(max_instances=2, image_size=(384, 1248))
+    db = build_db_from_predictions(ds, vcfg, pred_dir)
+    assert len(db) == len(labels)
+    pipe = RefinementPipeline(db, vcfg, training=False)
+    vmodel = VernierScale(vcfg)
+    Hh, Ww = vcfg.resolution
+    P = int(np.prod(vcfg.grid_resolution))
+    params = vmodel.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, Hh, Ww, 3)), jnp.zeros((1, Hh, Ww, 3)),
+        jnp.zeros((1, P, 2)), jnp.zeros((1, P, 2)),
+    )
+    runner = RefineRunner(vmodel, params, vcfg)
+    writer = PredictionWriter(vcfg, pred_types=("all_parts",))
+    runner.run(pipe, writer=writer, progress=False)
+    out_dir = os.path.join(root, "refined")
+    writer.write(out_dir)
+
+    # ---- evaluator scores the refined output --------------------------
+    res = run_kitti_eval(
+        os.path.join(root, "training", "label_2"),
+        os.path.join(out_dir, "all_parts"),
+    )
+    assert "car" in res and "detection_3d" in res["car"]
+    for v in res["car"]["detection_3d"]["ap40"]:
+        assert 0.0 <= v <= 100.0
