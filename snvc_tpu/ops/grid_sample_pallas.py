@@ -29,21 +29,7 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
-_BLOCK = 256  # points per kernel instance
-
-
-def _fractional(p):
-    p0 = jnp.floor(p)
-    return p0.astype(jnp.int32), (p - p0).astype(jnp.float32)
-
-
-def _axis_weights(i0, f, size, B):
-    """Two-tap interpolation weights [B, size] (zero outside = padding)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, size), 1)
-    d = cols - i0[:, None]
-    return jnp.where(d == 0, (1.0 - f)[:, None], 0.0) + jnp.where(
-        d == 1, f[:, None], 0.0
-    )
+_BLOCK = 1024  # points per kernel instance
 
 
 def _sample_one_view(g, feat2d, Hf, Wf, C, scale):
@@ -51,41 +37,50 @@ def _sample_one_view(g, feat2d, Hf, Wf, C, scale):
     lanes interleave (x, channel)).
 
     All-2D separable bilinear (Mosaic cannot reshape across the lane dim):
-      1. rows  = Wy @ feat2d          (MXU; Wy two-tap one-hot over Hf)
+      1. rows  = Wy @ feat2d          (MXU; Wy = bilinear hat over rows)
       2. mixed = rows * wx_full       (VPU; lane k belongs to x = k // C)
       3. out   = mixed @ S            (MXU; S[k, c] = (k mod C == c))
+
+    Interpolation weights are the hat function relu(1 - |p - i|): one
+    subtract/abs/relu per element, zero outside the image = zeros padding.
+    bf16 matmuls with f32 accumulation keep the MXU at full rate.
     """
     B = g.shape[0]
     WfC = Wf * C
     # ROI pixels -> feature pixels (torch align_corners=False convention):
     # g = p/R*2-1 ; x_f = ((g+1)*Wf - 1)/2 = p * (Wf/R) - 0.5
-    x0, fx = _fractional(g[:, 0] * scale[0] - 0.5)
-    y0, fy = _fractional(g[:, 1] * scale[1] - 0.5)
-    Wy = _axis_weights(y0, fy, Hf, B)
-    rows = jnp.dot(Wy, feat2d.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)  # [B, Wf*C]
+    px = g[:, 0] * scale[0] - 0.5
+    py = g[:, 1] * scale[1] - 0.5
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Hf), 1).astype(jnp.float32)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, None] - rows_iota)).astype(
+        feat2d.dtype
+    )
+    rows = jnp.dot(Wy, feat2d, preferred_element_type=jnp.float32).astype(
+        feat2d.dtype
+    )  # [B, Wf*C]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (B, WfC), 1)
-    xl = lanes // C
-    d = xl - x0[:, None]
-    wx_full = jnp.where(d == 0, (1.0 - fx)[:, None], 0.0) + jnp.where(
-        d == 1, fx[:, None], 0.0
+    xl = (lanes // C).astype(jnp.float32)
+    wx_full = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, None] - xl)).astype(
+        feat2d.dtype
     )
     mixed = rows * wx_full
     k = jax.lax.broadcasted_iota(jnp.int32, (WfC, C), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (WfC, C), 1)
-    S = (k % C == c).astype(jnp.float32)
+    S = (k % C == c).astype(feat2d.dtype)
     return jnp.dot(mixed, S, preferred_element_type=jnp.float32)
 
 
-def _kernel(gl_ref, gr_ref, lf_ref, rf_ref, out_ref, *, Hf, Wf, C, scale):
+def _kernel(gl_ref, gr_ref, lf_ref, rf_ref, out_l_ref, out_r_ref, *, Hf, Wf,
+            C, scale):
     """Grid (N, P/B).  gl/gr: [1, B, 2] ROI-pixel coords; lf/rf:
-    [1, Hf, Wf*C]; out: [1, B, 2C]."""
-    out_ref[0, :, :C] = _sample_one_view(
+    [1, Hf, Wf*C]; separate per-view outputs [1, B, C] — a fused [B, 2C]
+    output would need partial-lane stores, which Mosaic serializes."""
+    out_l_ref[0] = _sample_one_view(
         gl_ref[0], lf_ref[0], Hf, Wf, C, scale
-    ).astype(out_ref.dtype)
-    out_ref[0, :, C:] = _sample_one_view(
+    ).astype(out_l_ref.dtype)
+    out_r_ref[0] = _sample_one_view(
         gr_ref[0], rf_ref[0], Hf, Wf, C, scale
-    ).astype(out_ref.dtype)
+    ).astype(out_r_ref.dtype)
 
 
 def sample_stereo_voxel_pallas(
@@ -108,7 +103,7 @@ def sample_stereo_voxel_pallas(
     kernel = functools.partial(_kernel, Hf=Hf, Wf=Wf, C=C, scale=scale)
     lf2 = left_feat.reshape(N, Hf, Wf * C)
     rf2 = right_feat.reshape(N, Hf, Wf * C)
-    out = pl.pallas_call(
+    out_l, out_r = pl.pallas_call(
         kernel,
         grid=(N, Pp // _BLOCK),
         in_specs=[
@@ -117,10 +112,17 @@ def sample_stereo_voxel_pallas(
             pl.BlockSpec((1, Hf, Wf * C), lambda n, b: (n, 0, 0)),
             pl.BlockSpec((1, Hf, Wf * C), lambda n, b: (n, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _BLOCK, 2 * C), lambda n, b: (n, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, Pp, 2 * C), left_feat.dtype),
+        out_specs=(
+            pl.BlockSpec((1, _BLOCK, C), lambda n, b: (n, b, 0)),
+            pl.BlockSpec((1, _BLOCK, C), lambda n, b: (n, b, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, Pp, C), left_feat.dtype),
+            jax.ShapeDtypeStruct((N, Pp, C), left_feat.dtype),
+        ),
     )(gl, gr, lf2, rf2)
-    return out[:, :P].reshape(N, nh, nw, nl, 2 * C)
+    out = jnp.concatenate([out_l[:, :P], out_r[:, :P]], axis=-1)
+    return out.reshape(N, nh, nw, nl, 2 * C)
 
 
 def pallas_sampling_available(feat_shape, roi_hw) -> bool:
