@@ -52,7 +52,7 @@ def build(config: str):
             backbone=BackboneConfig(name="hrnet-w32"),
             grid_resolution=(16, 96, 96),
             resolution=(256, 256),
-            max_instances=8,
+            max_instances=16,
             compute_dtype="bfloat16",
             remat=True,
         )

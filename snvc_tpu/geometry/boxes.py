@@ -219,3 +219,63 @@ def canonical_bev_parts(w, l) -> np.ndarray:
     x = np.asarray(_PART_X) * l
     z = np.asarray(_PART_Z) * w
     return np.stack([x, z], axis=0)
+
+
+def corners_to_dims(corners8):
+    """Recover (h, w, l) from 8 corners in the framework part order
+    (reference numpy_utils.get_dimention_from_corners:42-61)."""
+    corners8 = np.asarray(corners8)
+    # parts 1..8: edges of the cuboid in the part ordering
+    l = np.linalg.norm(corners8[..., 0, :] - corners8[..., 4, :], axis=-1)
+    h = np.linalg.norm(corners8[..., 0, :] - corners8[..., 1, :], axis=-1)
+    w = np.linalg.norm(corners8[..., 0, :] - corners8[..., 2, :], axis=-1)
+    return np.stack([h, w, l], axis=-1)
+
+
+def fcos_centerness(l, t, r, b):
+    """FCOS centerness sqrt((min(l,r)/max(l,r)) * (min(t,b)/max(t,b)))
+    (reference torch_utils.compute_centerness_targets:100-105)."""
+    lr = np.minimum(l, r) / np.maximum(np.maximum(l, r), 1e-9)
+    tb = np.minimum(t, b) / np.maximum(np.maximum(t, b), 1e-9)
+    return np.sqrt(np.clip(lr * tb, 0, None))
+
+
+# --- quaternions (reference bounding_box.py:439-470) -----------------------
+
+
+def quat_to_euler(qw, qx, qy, qz):
+    """Quaternion -> (rx, ry, rz) Euler angles."""
+    rx = np.arctan2(2.0 * (qw * qx + qy * qz), 1.0 - 2.0 * (qx * qx + qy * qy))
+    sinp = np.clip(2.0 * (qw * qy - qz * qx), -1.0, 1.0)
+    ry = np.arcsin(sinp)
+    rz = np.arctan2(2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz))
+    return rx, ry, rz
+
+
+def euler_to_quat(rx, ry, rz):
+    """Euler (roll=rx, pitch=ry, yaw=rz) -> quaternion (w, x, y, z)."""
+    cy, sy = np.cos(rz * 0.5), np.sin(rz * 0.5)
+    cp, sp = np.cos(ry * 0.5), np.sin(ry * 0.5)
+    cr, sr = np.cos(rx * 0.5), np.sin(rx * 0.5)
+    qw = cy * cp * cr + sy * sp * sr
+    qx = cy * cp * sr - sy * sp * cr
+    qy = sy * cp * sr + cy * sp * cr
+    qz = sy * cp * cr - cy * sp * sr
+    return qw, qx, qy, qz
+
+
+def quat_to_rotation(q0, q1, q2, q3):
+    """Quaternion -> 3x3 rotation matrix (batched over leading dims)."""
+    r = np.stack(
+        [
+            np.stack([q0 * q0 + q1 * q1 - q2 * q2 - q3 * q3,
+                      2 * (q1 * q2 - q0 * q3), 2 * (q0 * q2 + q1 * q3)], -1),
+            np.stack([2 * (q1 * q2 + q0 * q3),
+                      q0 * q0 - q1 * q1 + q2 * q2 - q3 * q3,
+                      2 * (q2 * q3 - q0 * q1)], -1),
+            np.stack([2 * (q1 * q3 - q0 * q2), 2 * (q0 * q1 + q2 * q3),
+                      q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3], -1),
+        ],
+        axis=-2,
+    )
+    return r

@@ -132,3 +132,104 @@ def vernier_losses(
         total = total + coordinate_weight * lc
     losses["total"] = total
     return losses
+
+
+def voxel_mse_loss_weighted(ncf_pred, ncf_target, valid):
+    """Positive/negative-balanced heatmap MSE (reference
+    VoxelMSELossWeighted, loss3d.py:801-828): average the MSE separately
+    over positive-target and zero-target cells, then sum halves."""
+    err = (ncf_pred - ncf_target) ** 2
+    v = jnp.broadcast_to(
+        valid.reshape((-1,) + (1,) * (err.ndim - 1)), err.shape
+    )
+    pos = (ncf_target > 0) & v
+    neg = (ncf_target <= 0) & v
+    return 0.5 * (_masked_mean(err, pos) + _masked_mean(err, neg))
+
+
+def _bev5_from_box3d(box3d):
+    """box3d [..., 7] -> (cx, cz, l, w, -ry) center-height BEV box."""
+    return jnp.stack(
+        [
+            box3d[..., 3],
+            box3d[..., 5],
+            box3d[..., 2],
+            box3d[..., 1],
+            -box3d[..., 6],
+        ],
+        axis=-1,
+    )
+
+
+def approximated_iou3d(pred_box3d, gt_box3d):
+    """Elementwise 3D IoU as BEV overlap x height overlap (reference
+    approximated_3d_iou_pt, loss3d.py:614-636).  [N, 7] x [N, 7] -> [N]."""
+    import jax as _jax
+
+    from snvc_tpu.ops.rotated_iou import _pair_overlap
+
+    ov_bev = _jax.vmap(_pair_overlap)(
+        _bev5_from_box3d(pred_box3d), _bev5_from_box3d(gt_box3d)
+    )
+    top_p = pred_box3d[:, 4] - pred_box3d[:, 0]
+    top_g = gt_box3d[:, 4] - gt_box3d[:, 0]
+    ymax = jnp.minimum(pred_box3d[:, 4], gt_box3d[:, 4])
+    ymin = jnp.maximum(top_p, top_g)
+    inter = ov_bev * jnp.clip(ymax - ymin, 0.0, None)
+    vol_p = pred_box3d[:, 0] * pred_box3d[:, 1] * pred_box3d[:, 2]
+    vol_g = gt_box3d[:, 0] * gt_box3d[:, 1] * gt_box3d[:, 2]
+    return inter / jnp.clip(vol_p + vol_g - inter, 1e-6, None)
+
+
+def bbox_loss_3d(pred_box3d, gt_box3d, valid, beta: float = 0.2):
+    """3D bbox refinement loss: smooth-L1 on parameters + (1 - IoU3D)
+    (reference BboxLoss '3D' branch, loss3d.py:650-699)."""
+    n = jnp.abs(pred_box3d - gt_box3d)
+    sl1 = jnp.where(n < beta, 0.5 * n**2 / beta, n - 0.5 * beta).mean(axis=-1)
+    iou = approximated_iou3d(pred_box3d, gt_box3d)
+    m = valid.astype(sl1.dtype)
+    denom = jnp.maximum(m.sum(), 1.0)
+    return {
+        "sl1": 0.5 * (sl1 * m).sum() / denom,
+        "IoU3D": ((1.0 - iou) * m).sum() / denom,
+    }
+
+
+def bbox_loss_2d(pred_bev5, gt_bev5, valid):
+    """2D (BEV) bbox refinement: plain L1 (reference BboxLoss '2D' branch,
+    loss3d.py:651-655)."""
+    err = jnp.abs(pred_bev5 - gt_bev5)
+    mask = jnp.broadcast_to(valid[:, None], err.shape)
+    return {"l1": _masked_mean(err, mask)}
+
+
+def disentangled_corner_loss(pred7, target7, weights):
+    """Disentangled corner loss (reference disentangled_loss,
+    loss3d.py:63-76): swap one parameter group at a time into the target
+    7-tuple (dxyz / dims / angle), map to 24 corners, smooth-L1 each.
+
+    pred7/target7: [N, 7] = (dx, dy, dz, h, w, l, theta)."""
+    from snvc_tpu.models.stereo_losses import gt_corners_24
+
+    def to_box3d(p):
+        # (dxyz, hwl, theta) -> box3d (h, w, l, x, y, z, ry)
+        return jnp.stack(
+            [p[:, 3], p[:, 4], p[:, 5], p[:, 0], p[:, 1], p[:, 2], p[:, 6]],
+            axis=1,
+        )
+
+    def corners(p):
+        return gt_corners_24(to_box3d(p)).reshape(p.shape[0], 24)
+
+    gt_c = corners(target7)
+
+    def sl1(a, b):
+        beta = 1.0 / 9
+        n = jnp.abs(a - b)
+        per = jnp.where(n < beta, 0.5 * n**2 / beta, n - 0.5 * beta).mean(axis=1)
+        return (per * weights).sum() / jnp.maximum(weights.sum(), 1e-6)
+
+    g1 = jnp.concatenate([pred7[:, :3], target7[:, 3:]], axis=1)
+    g2 = jnp.concatenate([target7[:, :3], pred7[:, 3:6], target7[:, 6:]], axis=1)
+    g3 = jnp.concatenate([target7[:, :6], pred7[:, 6:]], axis=1)
+    return (sl1(corners(g1), gt_c) + sl1(corners(g2), gt_c) + sl1(corners(g3), gt_c)) / 3.0

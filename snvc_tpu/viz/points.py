@@ -83,3 +83,19 @@ def plot_bev_boxes(ax, boxes3d, color="r", linestyle="-", labels=None):
     ax.set_xlabel("x (m)")
     ax.set_ylabel("z (m)")
     ax.set_aspect("equal")
+
+
+def plot_lidar_bev(ax, pc_rect, boxes3d=None, max_points=20000, span=50.0):
+    """BEV LiDAR scatter with optional boxes (matplotlib replacement for the
+    reference's mayavi draw_lidar/draw_gt_boxes3d, viz_util.py:156,319)."""
+    pc = np.asarray(pc_rect)
+    if len(pc) > max_points:
+        pc = pc[:: len(pc) // max_points]
+    ax.scatter(pc[:, 0], pc[:, 2], s=0.2, c=pc[:, 1], cmap="viridis")
+    if boxes3d is not None and len(boxes3d):
+        plot_bev_boxes(ax, boxes3d, color="r")
+    ax.set_xlim(-span, span)
+    ax.set_ylim(0, span * 1.4)
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("z (m)")
+    ax.set_aspect("equal")

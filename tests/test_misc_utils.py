@@ -94,3 +94,64 @@ class TestObservability:
         w = exp2.metrics_writer()
         w(1, {"loss": 0.5})
         assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
+
+
+class TestInventoryExtras:
+    def test_corners_to_dims(self, rng):
+        from snvc_tpu.geometry import boxes as gbox
+
+        b = np.array([1.5, 1.7, 4.1, 2.0, 1.6, 20.0, 0.7])
+        dims = gbox.corners_to_dims(gbox.box_corners_cam(b))
+        np.testing.assert_allclose(dims, [1.5, 1.7, 4.1], atol=1e-6)
+
+    def test_quaternion_roundtrip(self, rng):
+        from snvc_tpu.geometry.boxes import euler_to_quat, quat_to_euler, quat_to_rotation
+
+        rx, ry, rz = 0.1, -0.4, 0.9
+        q = euler_to_quat(rx, ry, rz)
+        back = quat_to_euler(*q)
+        np.testing.assert_allclose(back, [rx, ry, rz], atol=1e-9)
+        R = quat_to_rotation(*q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert np.linalg.det(R) == pytest.approx(1.0)
+
+    def test_fcos_centerness(self):
+        from snvc_tpu.geometry.boxes import fcos_centerness
+
+        # centered location -> 1; edge -> 0
+        assert fcos_centerness(5.0, 5.0, 5.0, 5.0) == pytest.approx(1.0)
+        assert fcos_centerness(0.0, 5.0, 10.0, 5.0) == pytest.approx(0.0)
+
+    def test_bbox_loss_3d(self):
+        from snvc_tpu.models.losses import approximated_iou3d, bbox_loss_3d
+
+        b = jnp.array([[1.5, 1.7, 4.0, 0.0, 1.6, 20.0, 0.3]])
+        iou = approximated_iou3d(b, b)
+        np.testing.assert_allclose(np.asarray(iou), 1.0, atol=1e-5)
+        out = bbox_loss_3d(b, b, jnp.ones(1, bool))
+        assert float(out["sl1"]) == pytest.approx(0.0, abs=1e-6)
+        assert float(out["IoU3D"]) == pytest.approx(0.0, abs=1e-5)
+        b2 = b.at[0, 3].add(1.0)
+        out2 = bbox_loss_3d(b2, b, jnp.ones(1, bool))
+        assert float(out2["IoU3D"]) > 0.2
+
+    def test_disentangled_loss_zero_at_gt(self):
+        from snvc_tpu.models.losses import disentangled_corner_loss
+
+        p = jnp.array([[0.5, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3]])
+        w = jnp.ones(1)
+        assert float(disentangled_corner_loss(p, p, w)) == pytest.approx(0.0, abs=1e-6)
+        p2 = p.at[0, 6].add(0.5)
+        assert float(disentangled_corner_loss(p2, p, w)) > 0.01
+
+    def test_weighted_voxel_mse(self):
+        from snvc_tpu.models.losses import voxel_mse_loss_weighted
+
+        t = jnp.zeros((1, 2, 4, 4)).at[0, :, 2, 2].set(1.0)
+        zero = voxel_mse_loss_weighted(t, t, jnp.ones(1, bool))
+        assert float(zero) == pytest.approx(0.0, abs=1e-7)
+        # an all-zero prediction errs only on the positive cells; the
+        # balanced form weighs that at 0.5 regardless of cell counts
+        pred = jnp.zeros_like(t)
+        v = voxel_mse_loss_weighted(pred, t, jnp.ones(1, bool))
+        assert float(v) == pytest.approx(0.5, abs=1e-6)
