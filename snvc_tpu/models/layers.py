@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -78,6 +79,70 @@ class ConvNorm(nn.Module):
         return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
 
 
+class Conv3d(nn.Module):
+    """3D convolution decomposed into per-depth-tap 2D convolutions.
+
+    XLA's TPU lowering of native Conv3D runs ~3x slower than the
+    mathematically-identical sum of kd shifted Conv2D applications
+    (measured 73 ms -> 23 ms for k=7^3 on [8,16,96,96,64] bf16 on v5e), so
+    3D convs here are expressed as
+        y[:, d] = sum_dz conv2d(x[:, d*sd + dz*dil - pad], w[dz])
+    with flax-SAME padding semantics on every axis.  The parameter keeps
+    the standard [kd, kh, kw, I, O] kernel layout.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel
+        sd, sh, sw = self.stride
+        dil = self.dilation
+        N, D, H, W, C = x.shape
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kd, kh, kw, C, self.features),
+            jnp.float32,
+        )
+        dt = self.dtype or x.dtype
+        w = w.astype(dt)
+        x = x.astype(dt)
+        # SAME padding along depth (flax/XLA convention: extra on the high side)
+        Do = -(-D // sd)
+        eff_kd = (kd - 1) * dil + 1
+        pad_total = max((Do - 1) * sd + eff_kd - D, 0)
+        pad_lo = pad_total // 2
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_total - pad_lo), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dz in range(kd):
+            start = dz * dil
+            xs = xp[:, start : start + (Do - 1) * sd + 1 : sd]
+            xs = xs.reshape(N * Do, H, W, C)
+            o = jax.lax.conv_general_dilated(
+                xs,
+                w[dz],
+                (sh, sw),
+                "SAME",
+                rhs_dilation=(dil, dil),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            out = o if out is None else out + o
+        out = out.astype(dt)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            out = out + b.astype(dt)
+        Ho, Wo = out.shape[1], out.shape[2]
+        return out.reshape(N, Do, Ho, Wo, self.features)
+
+
 class ConvNorm3d(nn.Module):
     """3D conv + norm, NDHWC (reference convbn_3d, submodule.py:32-50)."""
 
@@ -93,14 +158,8 @@ class ConvNorm3d(nn.Module):
     def __call__(self, x, train: bool = False):
         k = (self.kernel,) * 3 if isinstance(self.kernel, int) else self.kernel
         s = (self.stride,) * 3 if isinstance(self.stride, int) else self.stride
-        x = nn.Conv(
-            self.features,
-            k,
-            strides=s,
-            padding="SAME",
-            kernel_dilation=(self.dilation,) * 3,
-            use_bias=False,
-            dtype=self.dtype,
+        x = Conv3d(
+            self.features, k, s, self.dilation, use_bias=False, dtype=self.dtype
         )(x)
         return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
 

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from snvc_tpu.config import StereoConfig
-from snvc_tpu.models.layers import ConvNorm, ConvNorm3d, Hourglass
+from snvc_tpu.models.layers import Conv3d, ConvNorm, ConvNorm3d, Hourglass
 from snvc_tpu.models.stereo_backbone import StereoFeatureNet
 from snvc_tpu.ops.cost_volume import build_cost_volume
 from snvc_tpu.ops.frustum import frustum_to_voxel
@@ -119,7 +119,7 @@ class StereoNet(nn.Module):
         vol = vol + hg_out
 
         # --- depth regression branch (submodule.disparityregression) -----
-        cost = nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False, dtype=dt)(vol)
+        cost = Conv3d(1, (3, 3, 3), dtype=dt)(vol)
         cost = cost[..., 0].astype(jnp.float32)  # [N, D, Hf, Wf]
         prob = jax.nn.softmax(cost, axis=1)
         depth = jnp.sum(prob * depths[None, :, None, None], axis=1)

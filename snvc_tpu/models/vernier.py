@@ -30,6 +30,7 @@ from snvc_tpu.config import VernierConfig
 from snvc_tpu.models.fc_model import FCModel
 from snvc_tpu.models.hrnet import BasicBlock, HRNet
 from snvc_tpu.models.layers import (
+    Conv3d,
     ConvNorm,
     ConvNorm3d,
     Hourglass,
@@ -192,7 +193,7 @@ class VernierHead(nn.Module):
         x = nn.relu(ConvNorm3d(dim, 3, gn=cfg.gn, groups=g, dtype=self.dtype)(x, train))
         h, _, _ = Hourglass(dim, ndim=3, gn=cfg.gn, dtype=self.dtype)(x, None, None, train)
         x = x + h
-        ncf = nn.Conv(1, (1, 1, 1), use_bias=False, dtype=self.dtype)(x)
+        ncf = Conv3d(1, (1, 1, 1), dtype=self.dtype)(x)
         # [N, nh, nw, nl, 1] -> [N, 1, nh, nw, nl]
         ncf = jnp.moveaxis(ncf, -1, 1)
         return dict(ncf=ncf, occupancy=None, offset=None, coordinates=None, bbox=None)
@@ -245,14 +246,14 @@ class VernierHead(nn.Module):
         # foreground occupancy head
         occ = nn.relu(C3(dim, 3)(x, train))
         occ = nn.sigmoid(
-            nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(occ)
+            Conv3d(1, (3, 3, 3), dtype=self.dtype)(occ)
         )  # [N, nh, nw, nl, 1]
         occupancy = occ[..., 0]
 
         offset = None
         if cfg.use_part_reg_head:
             off = nn.relu(C3(dim, 3)(x, train))
-            off = nn.Conv(27, (1, 1, 1), use_bias=False, dtype=self.dtype)(off)
+            off = Conv3d(27, (1, 1, 1), dtype=self.dtype)(off)
             offset = jnp.moveaxis(off, -1, 1)  # [N, 27, nh, nw, nl]
 
         # concat image-feature shortcut gated by occupancy

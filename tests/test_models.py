@@ -135,3 +135,33 @@ class TestVernier:
         cfg = tiny_vernier_config(grid_resolution=(8, 32, 32), resolution=(64, 64))
         out = self._run(cfg, rng)
         assert out["ncf"].shape == (2, cfg.num_parts, 32, 32)
+
+
+class TestConv3dDecomposition:
+    """The depth-tap decomposition must match flax's native Conv3D exactly
+    across the stride/dilation variants the models use."""
+
+    @pytest.mark.parametrize(
+        "kernel,stride,dilation",
+        [
+            ((3, 3, 3), (1, 1, 1), 1),
+            ((7, 7, 7), (1, 1, 1), 1),
+            ((5, 5, 5), (1, 1, 1), 2),
+            ((3, 3, 3), (2, 2, 2), 1),
+            ((3, 3, 3), (2, 1, 1), 1),
+            ((1, 1, 1), (1, 1, 1), 1),
+        ],
+    )
+    def test_matches_native_conv3d(self, rng, kernel, stride, dilation):
+        from flax import linen as nn
+        from snvc_tpu.models.layers import Conv3d
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 10, 12, 6)), jnp.float32)
+        mod = Conv3d(4, kernel, stride, dilation)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        got = mod.apply(v, x)
+        ref = nn.Conv(4, kernel, strides=stride, padding="SAME",
+                      kernel_dilation=(dilation,) * 3, use_bias=False)
+        want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
