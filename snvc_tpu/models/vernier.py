@@ -295,9 +295,16 @@ class VernierScale(nn.Module):
 
         vox = VernierEncoder(cfg).apply(scope_variables(vars, "encoder"), ...)
         out = VernierHead(cfg).apply(scope_variables(vars, "head"), vox)
+
+    ``voxel_sharding`` (a jax.sharding.NamedSharding) enables tensor
+    parallelism: the object voxel is shard-constrained (typically over its
+    length axis on the mesh's "model" axis) and GSPMD partitions the 3D
+    conv stack with halo exchanges — the TPU-native analog of splitting
+    the cost volume across devices (SURVEY.md §2.3).
     """
 
     cfg: VernierConfig
+    voxel_sharding: Any = None
 
     def setup(self):
         self.encoder = VernierEncoder(self.cfg)
@@ -308,6 +315,8 @@ class VernierScale(nn.Module):
         voxel = self.encoder(
             left_roi, right_roi, grid_proj_left, grid_proj_right, train
         )
+        if self.voxel_sharding is not None:
+            voxel = jax.lax.with_sharding_constraint(voxel, self.voxel_sharding)
         return self.head(voxel, train)
 
 

@@ -116,7 +116,7 @@ def train_step(
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
             mutable = ["batch_stats"]
-        out = VernierScale(cfg).apply(
+        out = model.apply(
             variables,
             left,
             right,
@@ -157,8 +157,21 @@ def train_step(
 
 def make_train_step(model: VernierScale, cfg: VernierConfig, tc: TrainConfig, mesh=None):
     """jit (or pjit over a mesh) the train step with instance-batch
-    shardings."""
+    shardings.
+
+    With a mesh whose "model" axis is >1, the object voxel is additionally
+    shard-constrained over its length axis (tensor parallelism: GSPMD
+    partitions the 3D convs with halo exchange)."""
     grid_local = jnp.asarray(make_grid_local(cfg))
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        import dataclasses
+
+        model = dataclasses.replace(
+            model,
+            voxel_sharding=NamedSharding(
+                mesh, P("data", None, None, "model", None)
+            ),
+        )
     fn = functools.partial(
         train_step, model=model, cfg=cfg, tc=tc, grid_local=grid_local
     )
