@@ -101,3 +101,29 @@ def perturb_box(
     if cfg.dim_aug:
         noise[:3] = rng.normal(size=3) * np.asarray(cfg.std_dim)
     return (box + noise).astype(np.float32)
+
+
+def attach_nearest_gt(
+    db: List[InstanceRecord], cfg: VernierConfig
+) -> List[InstanceRecord]:
+    """For proposal records on a labeled split, attach the nearest GT box
+    (reference get_neighbor, KITTIRefinement_dataset.py:1014-1028) so val
+    losses can be reported during model-agnostic inference."""
+    cache = {}
+    for rec in db:
+        if rec.pred is None or rec.scene.label_dir is None:
+            continue
+        key = rec.scene.index
+        if key not in cache:
+            _, b3, _, _ = filter_annotations(
+                rec.scene.labels(),
+                valid_classes=cfg.valid_classes,
+                truncation_threshold=0.8,
+            )
+            cache[key] = b3
+        b3 = cache[key]
+        if len(b3) == 0:
+            continue
+        d = np.linalg.norm(rec.pred[3:6][None] - b3[:, 3:6], axis=1)
+        rec.label = b3[int(np.argmin(d))]
+    return db

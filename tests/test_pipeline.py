@@ -151,3 +151,34 @@ class TestEndToEnd:
         for k, v in logs[0].items():
             assert np.isfinite(v), k
         assert logs[0]["total"] > 0
+
+
+class TestNearestGT:
+    def test_attach_nearest_gt(self, kitti_root, tiny_cfg):
+        from snvc_tpu.data.instance_db import attach_nearest_gt
+
+        root, pred_dir, boxes = kitti_root
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, tiny_cfg, pred_dir)
+        db = attach_nearest_gt(db, tiny_cfg)
+        for rec in db:
+            assert rec.label is not None
+            # proposals were generated as noisy copies of the GT: the
+            # nearest GT must be within the noise radius
+            assert np.linalg.norm(rec.label[3:6] - rec.pred[3:6]) < 1.5
+
+    def test_loss_reporting_on_proposals(self, kitti_root, tiny_cfg, model_and_params):
+        from snvc_tpu.data.instance_db import attach_nearest_gt
+
+        root, pred_dir, _ = kitti_root
+        model, params = model_and_params
+        ds = KittiDataset(root, "val")
+        db = attach_nearest_gt(
+            build_db_from_predictions(ds, tiny_cfg, pred_dir), tiny_cfg
+        )
+        pipe = RefinementPipeline(db, tiny_cfg, training=False, load_lidar=True)
+        runner = RefineRunner(model, params, tiny_cfg)
+        logs = runner.run(pipe, with_targets=True, progress=False, max_batches=1)
+        assert logs and np.isfinite(logs[0]["total"])
+        # lidar got loaded: occupancy loss is supervised
+        assert "occupancy" in logs[0]

@@ -42,7 +42,10 @@ def main():
 
     from snvc_tpu.utils import Experimenter, enable_compilation_cache
     from snvc_tpu.data.kitti import KittiDataset
-    from snvc_tpu.data.instance_db import build_db_from_predictions
+    from snvc_tpu.data.instance_db import (
+        attach_nearest_gt,
+        build_db_from_predictions,
+    )
     from snvc_tpu.data.pipeline import RefinementPipeline
     from snvc_tpu.inference.kitti_writer import PredictionWriter
     from snvc_tpu.inference.refine import RefineRunner
@@ -66,8 +69,11 @@ def main():
 
     ds = KittiDataset(args.data_path, args.split)
     db = build_db_from_predictions(ds, cfg, args.pred_dir)
+    if args.report_loss:
+        db = attach_nearest_gt(db, cfg)
     exp.logger.info(f"{len(db)} proposal instances from {args.pred_dir}")
-    pipe = RefinementPipeline(db, cfg, training=False, seed=args.seed)
+    pipe = RefinementPipeline(db, cfg, training=False, seed=args.seed,
+                          load_lidar=args.report_loss)
     runner = RefineRunner(model, params, cfg)
     writer = PredictionWriter(cfg)
     runner.run(pipe, writer=writer, with_targets=args.report_loss,
