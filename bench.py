@@ -66,7 +66,7 @@ def build(config: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="small", choices=["tiny", "small", "flagship"])
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
 
     import jax
