@@ -71,56 +71,54 @@ def plane_sweep_volume(left, right, shifts, downsample: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def _psv_kernel(shift_ref, left_ref, right_ref, out_ref):
-    """Grid (N, D). Blocks: left/right [1, H, W, C]; out [1, 1, H, W, 2C]."""
-    W = left_ref.shape[2]
-    C = left_ref.shape[3]
+def _psv_kernel(shift_ref, rpad_ref, out_ref, *, S, W):
+    """Grid (N, D, HC/128).  rpad block: [S+W, 128] left-zero-padded,
+    column-major (sublanes = image columns); out block: [1, W, 128].
+
+    With a constant shift s per depth plane, the bilinear read
+        out[x] = fs * right[x - ks - 1] + (1 - fs) * right[x - ks]
+    (ks = floor(s), fs = s - ks) is two W-row dynamic slices + a lerp — no
+    gather at all.  Zero padding on the left supplies the out-of-range
+    taps (CUDA semantics, BuildCostVolume_cuda.cu:15-61).
+
+    Blocks are f32 with exactly 128 lanes: Mosaic rejects dynamic sublane
+    slices on bf16 refs (16-sublane packing) and on >128-lane blocks.
+    """
     d = pl.program_id(1)
     s = shift_ref[d]
-    x0f = jnp.floor(s)
-    frac = (s - x0f).astype(left_ref.dtype)
-    # reading output column x needs right columns x - ceil(s) .. x - floor(s);
-    # express as two W-wide windows of a zero-padded [W + pad] buffer.
-    left = left_ref[0]  # [H, W, C]
-    right = right_ref[0]
-    out_ref[0, 0, :, :, :C] = left
-    # shift right columns by integer part via masked roll-free indexing:
-    # col x reads right[x - x0 - 1] and right[x - x0]; do it with iota mask
-    xi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)  # [W, 1]
-    src0 = xi - x0f.astype(jnp.int32)  # x - floor(s)
-    valid0 = (src0 >= 0) & (src0 < W)
-    src1 = src0 - 1
-    valid1 = (src1 >= 0) & (src1 < W)
-    g0 = jnp.take_along_axis(
-        right, jnp.clip(src0, 0, W - 1)[None, :, :].repeat(right.shape[0], 0),
-        axis=1,
-    )
-    g1 = jnp.take_along_axis(
-        right, jnp.clip(src1, 0, W - 1)[None, :, :].repeat(right.shape[0], 0),
-        axis=1,
-    )
-    g0 = g0 * valid0[None, :, :].astype(right.dtype)
-    g1 = g1 * valid1[None, :, :].astype(right.dtype)
-    out_ref[0, 0, :, :, C:] = g0 * (1.0 - frac) + g1 * frac
+    ks = jnp.floor(s).astype(jnp.int32)
+    fs = s - jnp.floor(s)
+    a = rpad_ref[pl.ds(S - ks - 1, W)]  # taps x - ks - 1
+    b = rpad_ref[pl.ds(S - ks, W)]  # taps x - ks
+    out_ref[0] = a * fs + b * (1.0 - fs)
 
 
-def _psv_pallas_fwd(left, right, shifts):
+def _psv_pallas_fwd(left, right, shifts, max_shift: Optional[int] = None):
     N, H, W, C = left.shape
     D = shifts.shape[0]
-    grid = (N, D)
-    return pl.pallas_call(
-        _psv_kernel,
-        grid=grid,
+    S = int(max_shift) + 2 if max_shift is not None else W
+    HC = H * C
+    assert HC % 128 == 0, "H*C must be lane-aligned (128)"
+    # column-major f32 layout, frames folded into the sublane axis
+    # (lane-merging reshapes happen outside pallas)
+    rT = right.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(N, W, HC)
+    rpad = jnp.pad(rT, ((0, 0), (S, 0), (0, 0))).reshape(N * (S + W), HC)
+    kernel = functools.partial(_psv_kernel, S=S, W=W)
+    out_r = pl.pallas_call(
+        kernel,
+        grid=(N, D, HC // 128),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, W, C), lambda n, d: (n, 0, 0, 0)),
-            pl.BlockSpec((1, H, W, C), lambda n, d: (n, 0, 0, 0)),
+            pl.BlockSpec((S + W, 128), lambda n, d, j: (n, j)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, H, W, 2 * C), lambda n, d: (n, d, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((N, D, H, W, 2 * C), left.dtype),
-    )(shifts, left, right)
+        out_specs=pl.BlockSpec((1, W, 128), lambda n, d, j: (n * D + d, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((N * D, W, HC), jnp.float32),
+    )(shifts, rpad)
+    right_part = (
+        out_r.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4).astype(left.dtype)
+    )
+    left_part = jnp.broadcast_to(left[:, None], (N, D, H, W, C))
+    return jnp.concatenate([left_part, right_part], axis=-1)
 
 
 @jax.custom_vjp
