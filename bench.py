@@ -63,11 +63,72 @@ def build(config: str):
     return cfg
 
 
+def bench_stereo(iters: int):
+    """Global-model throughput: stereo pairs/sec/chip on KITTI-sized
+    inputs (the SURVEY north-star for the main scale)."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from snvc_tpu.config import StereoConfig
+    from snvc_tpu.geometry.calib import Calibration
+    from snvc_tpu.models.stereonet import StereoNet
+
+    cfg = StereoConfig()  # KITTI scale: 384x1248, D=64
+    model = StereoNet(cfg)
+    H, W = cfg.input_size
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    Pl = jnp.asarray(Calibration.default().as_array()[None])
+    Pr = jnp.asarray(Calibration.default_right().as_array()[None])
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), left, right, Pl, Pr)
+    variables = jax.device_put(variables, jax.devices()[0])
+    f = jax.jit(lambda v, l, r, a, b: model.apply(v, l, r, a, b))
+    out = f(variables, left, right, Pl, Pr)
+    jax.block_until_ready(out)
+    # distinct inputs per request (elision-safe), no cross-request
+    # dependence (pipelining preserved)
+    jitters = [
+        jax.device_put(np.float32(1e-4 * (i + 1)), jax.devices()[0])
+        for i in range(iters)
+    ]
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        outs.append(f(variables, left + jitters[i], right, Pl, Pr))
+    jax.block_until_ready([o["depth"] for o in outs] + [o["cls"] for o in outs])
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="small", choices=["tiny", "small", "flagship"])
+    p.add_argument("--model", default="vernier", choices=["vernier", "stereo"])
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
+
+    if args.model == "stereo":
+        pps = bench_stereo(args.iters)
+        print(
+            json.dumps(
+                {
+                    "metric": "stereonet_throughput",
+                    "value": round(pps, 2),
+                    "unit": "stereo_pairs/sec/chip",
+                    "vs_baseline": round(pps / 1.0, 3),  # ref est. ~1 pair/s
+                }
+            )
+        )
+        return
 
     import jax
 
@@ -125,9 +186,24 @@ def main():
             return device_batch
 
     db = _DevBatch()
-    runner.step(db, host_outputs=())  # re-warm with device inputs
+    out = runner.step(db, host_outputs=())  # re-warm with device inputs
+    # serving measurement: every request gets DISTINCT inputs (the axon
+    # runtime elides repeated identical dispatches), but requests stay
+    # independent so the pipeline overlaps dispatch latency; block on all
+    # outputs at the end
+    base_samples = device_batch["samples"]
+    jitters = [
+        _jax.device_put(
+            np.float32(1e-4 * (i + 1)) * np.ones((1,), np.float32),
+            _jax.devices()[0],
+        )
+        for i in range(args.iters)
+    ]
+    outs = []
     t0 = time.perf_counter()
-    outs = [runner.step(db, host_outputs=()) for _ in range(args.iters)]
+    for i in range(args.iters):
+        device_batch["samples"] = base_samples + jitters[i]
+        outs.append(runner.step(db, host_outputs=()))
     _jax.block_until_ready([o["all_parts"] for o in outs])
     dt = time.perf_counter() - t0
     inst_per_sec = cfg.max_instances * args.iters / dt
