@@ -150,3 +150,34 @@ class TestDecode:
         assert boxes.shape == (1, 16, 7)
         assert scores.shape == (1, 16)
         assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+class TestBackboneOps:
+    def test_avgpool_matches_nn(self, rng):
+        import flax.linen as fnn
+        from snvc_tpu.models.stereo_backbone import _avgpool
+
+        x = jnp.asarray(rng.standard_normal((2, 96, 312, 8)), jnp.float32)
+        for k in (8, 16, 32, 64):
+            got = np.asarray(_avgpool(x, k))
+            want = np.asarray(fnn.avg_pool(x, (k, k), strides=(k, k)))
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_bilinear_resize_matches_torch_align_corners(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from snvc_tpu.models.stereo_backbone import _bilinear_resize
+
+        for src in [(1, 4), (3, 9), (6, 19), (12, 39)]:
+            x = rng.standard_normal((2, src[0], src[1], 5)).astype(np.float32)
+            got = np.asarray(_bilinear_resize(jnp.asarray(x), (96, 312)))
+            want = (
+                F.interpolate(
+                    torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                    size=(96, 312), mode="bilinear", align_corners=True,
+                )
+                .numpy()
+                .transpose(0, 2, 3, 1)
+            )
+            np.testing.assert_allclose(got, want, atol=2e-5), src
