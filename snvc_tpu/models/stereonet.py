@@ -32,6 +32,10 @@ from snvc_tpu.models.layers import Conv3d, ConvNorm, ConvNorm3d, Hourglass
 from snvc_tpu.models.stereo_backbone import StereoFeatureNet
 from snvc_tpu.ops.cost_volume import build_cost_volume
 from snvc_tpu.ops.frustum import frustum_to_voxel
+from snvc_tpu.ops.frustum_pallas import (
+    frustum_pallas_available,
+    frustum_to_voxel_pallas,
+)
 
 Dtype = Any
 
@@ -131,14 +135,24 @@ class StereoNet(nn.Module):
         }
 
         if cfg.rpn3d_enable:
-            centers = jnp.asarray(voxel_grid_centers(cfg))
-            feat = frustum_to_voxel(
-                vol, P_left, depths, centers, feature_stride=4
-            )  # [N, V, C]
             nz, nx = cfg.bev_size
             ny = cfg.ny
-            C = feat.shape[-1]
-            voxels = feat.reshape(-1, nz, nx, ny, C)
+            if frustum_pallas_available(vol.shape[2], vol.shape[3], vol.shape[4]):
+                zs = cfg.z_min + (np.arange(nz) + 0.5) * cfg.voxel_z
+                xs = cfg.x_min + (np.arange(nx) + 0.5) * cfg.voxel_x
+                ys = cfg.y_min + (np.arange(ny) + 0.5) * cfg.voxel_y
+                voxels = frustum_to_voxel_pallas(
+                    vol, P_left, np.asarray(depth_hypotheses(cfg)),
+                    zs, xs, ys, feature_stride=4,
+                )  # [N, nz, nx, ny, C]
+                C = voxels.shape[-1]
+            else:
+                centers = jnp.asarray(voxel_grid_centers(cfg))
+                feat = frustum_to_voxel(
+                    vol, P_left, depths, centers, feature_stride=4
+                )  # [N, V, C]
+                C = feat.shape[-1]
+                voxels = feat.reshape(-1, nz, nx, ny, C)
             bev = voxels.reshape(-1, nz, nx, ny * C).astype(dt)
             bev = nn.relu(ConvNorm(64, 3, gn=cfg.gn, groups=g, dtype=dt)(bev, train))
             if cfg.cat_img_feature and rpn_img is not None:

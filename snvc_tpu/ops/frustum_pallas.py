@@ -1,0 +1,140 @@
+"""Pallas TPU kernel for frustum->voxel resampling.
+
+The XLA-gather formulation (ops.frustum.frustum_to_voxel) runs the global
+model at ~1% of roofline (1.7M voxels x 8 taps).  The BEV voxel grid is
+perfectly separable in frustum coordinates:
+
+  * the depth-plane pair (d0, d0+1) and its blend fd depend only on the
+    BEV row z — and the z grid and depth hypotheses are STATIC, so the
+    plane indices resolve at trace time (BlockSpec table lookups),
+  * the image column u = (fu*x + cu*z + tx)/z depends only on (z-row, x),
+  * the image row v = (fv*y + cv*z + ty)/z depends only on (z-row, y).
+
+Per z-row the resample is therefore
+    volz = (1-fd) * vol[d0] + fd * vol[d0+1]          (VPU lerp)
+    tmp  = Hu_z @ volz                                 (MXU, hat over u)
+    out[y] = (tmp * hat_v(y)) @ S                      (VPU + MXU mod-C select)
+with vol laid out [D, Wf, Hf*C] (columns on sublanes, rows x channels on
+lanes) and S[k, c] = (k mod C == c).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def _kernel(d0_ref, fd_ref, hu_ref, wv_ref, p0_ref, p1_ref, out_ref, *, ny, C):
+    """Grid (nz,).  d0/fd are scalar-prefetch args (the depth-plane table
+    drives the p0/p1 BlockSpec index maps); blocks:
+    hu [1, nx, Wf]; wv [1, ny, Hf*C]; p0/p1 [1, Wf, Hf*C] (the z-row's
+    depth planes); out [1, ny, nx, C]."""
+    zi = pl.program_id(0)
+    fd = fd_ref[zi]
+    volz = p0_ref[0] * (1.0 - fd) + p1_ref[0] * fd  # [Wf, Hf*C]
+    hu = hu_ref[0]  # [nx, Wf]
+    tmp = jnp.dot(hu, volz, preferred_element_type=jnp.float32)  # [nx, Hf*C]
+    HfC = tmp.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (HfC, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (HfC, C), 1)
+    S = (k % C == c).astype(tmp.dtype)
+    for yi in range(ny):
+        wv = wv_ref[0, yi]  # [Hf*C]
+        mixed = tmp * wv[None, :]
+        out_ref[0, yi] = jnp.dot(
+            mixed, S, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+def _hat(p, size):
+    """[..., size] hat weights relu(1 - |p - i|) (zeros outside)."""
+    idx = jax.lax.broadcasted_iota(jnp.float32, p.shape + (size,), p.ndim)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - idx))
+
+
+def frustum_to_voxel_pallas(
+    volume,
+    P_mat,
+    depths: np.ndarray,
+    bev_zs: np.ndarray,
+    bev_xs: np.ndarray,
+    bev_ys: np.ndarray,
+    feature_stride: int = 4,
+    interpret: bool = False,
+):
+    """volume: [N, D, Hf, Wf, C]; P_mat: [N, 3, 4]; depths/bev_*: STATIC
+    numpy grids.  Returns [N, nz, nx, ny, C] voxel features (clamp-to-edge
+    along depth, zeros outside the image — ops.frustum semantics).
+
+    Requires the rectified-KITTI projection form P[2, :2] == 0 (true for
+    all KITTI P2/P3 matrices); `interpret=True` runs the kernel in the
+    Pallas interpreter for CPU-backed tests."""
+    N, D, Hf, Wf, C = volume.shape
+    nz, nx, ny = len(bev_zs), len(bev_xs), len(bev_ys)
+    # static depth-plane assignment per z row
+    d0 = np.clip(np.searchsorted(depths, bev_zs, side="right") - 1, 0, D - 2)
+    span = np.maximum(depths[d0 + 1] - depths[d0], 1e-6)
+    fd = np.clip((bev_zs - depths[d0]) / span, 0.0, 1.0).astype(np.float32)
+    d0_t = jnp.asarray(d0.astype(np.int32))
+    fd_t = jnp.asarray(fd)
+    zs = jnp.asarray(bev_zs.astype(np.float32))
+    xs = jnp.asarray(bev_xs.astype(np.float32))
+    ys = jnp.asarray(bev_ys.astype(np.float32))
+
+    kernel = functools.partial(_kernel, ny=ny, C=C)
+
+    def one(vol, P):
+        # u(z, x) and v(z, y) in feature pixels; separability requires the
+        # rectified-KITTI projection form (P[2,0] = P[2,1] = 0), where the
+        # homogeneous w depends on z only: w = z + P[2,3]
+        w = zs[:, None] + P[2, 3]
+        u = (P[0, 0] * xs[None, :] + P[0, 2] * zs[:, None] + P[0, 3]) / w / feature_stride
+        v = (P[1, 1] * ys[None, :] + P[1, 2] * zs[:, None] + P[1, 3]) / w / feature_stride
+        hu = _hat(u, Wf).astype(vol.dtype)  # [nz, nx, Wf]
+        # v weights expanded to the (h, c)-interleaved lane layout
+        wv_h = _hat(v, Hf)  # [nz, ny, Hf]
+        wv = jnp.repeat(wv_h, C, axis=-1).astype(vol.dtype)  # [nz, ny, Hf*C]
+        volT = vol.transpose(0, 2, 1, 3).reshape(D, Wf, Hf * C)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # d0 table + fd blend
+            grid=(nz,),
+            in_specs=[
+                pl.BlockSpec((1, nx, Wf), lambda zi, d0, fd: (zi, 0, 0)),
+                pl.BlockSpec((1, ny, Hf * C), lambda zi, d0, fd: (zi, 0, 0)),
+                pl.BlockSpec((1, Wf, Hf * C), lambda zi, d0, fd: (d0[zi], 0, 0)),
+                pl.BlockSpec(
+                    (1, Wf, Hf * C), lambda zi, d0, fd: (d0[zi] + 1, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ny, nx, C), lambda zi, d0, fd: (zi, 0, 0, 0)
+            ),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nz, ny, nx, C), vol.dtype),
+            interpret=interpret,
+        )(d0_t, fd_t, hu, wv, volT, volT)
+        return out.transpose(0, 2, 1, 3)  # [nz, nx, ny, C]
+
+    return jnp.stack([one(volume[i], P_mat[i]) for i in range(N)])
+
+
+def frustum_pallas_available(Hf, Wf, C) -> bool:
+    if not _HAS_PLTPU or jax.default_backend() == "cpu":
+        return False
+    # two planes + hat blocks must fit VMEM comfortably
+    return 2 * Wf * (Hf * C) * 4 < 10 * 1024 * 1024

@@ -60,6 +60,41 @@ class TestFrustum:
         out = frustum_to_voxel(vol, P, depths, centers, feature_stride=160)
         np.testing.assert_allclose(np.asarray(out)[0, 0], [1.0, 1.0], atol=1e-5)
 
+    def test_pallas_kernel_matches_xla(self):
+        """The separable Pallas frustum kernel (interpret mode on CPU)
+        agrees with the XLA gather formulation on a random volume."""
+        from snvc_tpu.ops.frustum_pallas import frustum_to_voxel_pallas
+
+        rng = np.random.default_rng(3)
+        D, Hf, Wf, C = 6, 16, 24, 8
+        nz, nx, ny = 10, 12, 4
+        depths = np.linspace(4.0, 30.0, D).astype(np.float32)
+        zs = (4.0 + (np.arange(nz) + 0.5) * 2.0).astype(np.float32)
+        xs = (-6.0 + (np.arange(nx) + 0.5) * 1.0).astype(np.float32)
+        ys = (-1.0 + (np.arange(ny) + 0.5) * 0.8).astype(np.float32)
+        vol = rng.standard_normal((1, D, Hf, Wf, C)).astype(np.float32)
+        P = np.array(
+            [[80.0, 0, 48.0, 2.0], [0, 80.0, 32.0, -0.3], [0, 0, 1, 0.005]],
+            np.float32,
+        )
+        got = np.asarray(
+            frustum_to_voxel_pallas(
+                jnp.asarray(vol), jnp.asarray(P[None]), depths,
+                zs, xs, ys, feature_stride=4, interpret=True,
+            )
+        )
+        gz, gx, gy = np.meshgrid(zs, xs, ys, indexing="ij")
+        centers = jnp.asarray(
+            np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+        )
+        want = np.asarray(
+            frustum_to_voxel(
+                jnp.asarray(vol), jnp.asarray(P[None]),
+                jnp.asarray(depths), centers, feature_stride=4,
+            )
+        ).reshape(1, nz, nx, ny, C)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
 
 class TestStereoNet:
     def test_output_shapes(self, stereo_out):
