@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +29,47 @@ def _norm_groups(requested: int, channels: int) -> int:
     return g
 
 
+class FastGroupNorm(nn.Module):
+    """GroupNorm computed as per-(sample, group) f32 moments followed by a
+    single fused ``x * a + b`` pass in the compute dtype.
+
+    Numerically identical to nn.GroupNorm(eps=1e-6) but avoids the grouped
+    reshape of the full activation (flax normalizes a [..., G, C//G] f32
+    view of the whole tensor, which on large NDHWC volumes materializes
+    f32 copies); here only the [N, C] channel moments are reshaped.
+    Parameter names/shapes ("scale"/"bias", [C]) match nn.GroupNorm, so
+    converted torch checkpoints load unchanged."""
+
+    groups: int
+    epsilon: float = 1e-6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        G = self.groups
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        n_red = 1
+        for a in red:
+            n_red *= x.shape[a]
+        n_red *= C // G
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=red).reshape(x.shape[0], G, C // G).sum(-1)
+        s2 = jnp.sum(xf * xf, axis=red).reshape(x.shape[0], G, C // G).sum(-1)
+        mean = s1 / n_red
+        var = s2 / n_red - mean * mean
+        inv = jax.lax.rsqrt(var + self.epsilon)  # [N, G]
+        a = jnp.repeat(inv, C // G, axis=-1) * scale[None]  # [N, C]
+        b = bias[None] - jnp.repeat(mean * inv, C // G, axis=-1) * scale[None]
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
+        dt = self.dtype or x.dtype
+        return (
+            x.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+        ).astype(dt)
+
+
 class Norm(nn.Module):
     """GroupNorm (gn=True) or BatchNorm, per the reference's switch
     (submodule.py:28,49)."""
@@ -39,9 +81,10 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.gn:
-            return nn.GroupNorm(
-                num_groups=_norm_groups(self.groups, x.shape[-1]),
+            return FastGroupNorm(
+                groups=_norm_groups(self.groups, x.shape[-1]),
                 dtype=self.dtype,
+                name="GroupNorm_0",
             )(x)
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype
@@ -164,6 +207,68 @@ class ConvNorm3d(nn.Module):
         return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
 
 
+class ConvTranspose3dFast(nn.Module):
+    """k3 stride-2 SAME 3D transposed conv as 8 parity sub-convolutions.
+
+    XLA's TPU lowering of the native input-dilated Conv3D is pathological
+    (measured 630 ms for the full-res hourglass deconv vs <100 ms for the
+    equivalent forward convs).  With k=3, s=2, SAME (jax pads (2,1) on the
+    dilated input) each output parity class per axis sees fixed kernel
+    taps:
+        y[2j]   = w[0] x[j-1] + w[2] x[j]      (2-tap conv, pad (1,0))
+        y[2j+1] = w[1] x[j]                    (1-tap)
+    so the 3D transposed conv is exactly 8 small forward convolutions over
+    the *undilated* input (no zero-multiply waste), interleaved.  The
+    parameter ("kernel", [3,3,3,I,O]) matches nn.ConvTranspose — converted
+    checkpoints load unchanged; parity test in tests/test_models.py."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        N, D, H, W, C = x.shape
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, C, self.features),
+            jnp.float32,
+        )
+        dt = self.dtype or x.dtype
+        w = w.astype(dt)
+        x = x.astype(dt)
+        taps = {0: (0, 2), 1: (1,)}  # parity -> kernel tap indices
+        # depth padded once for the 2-tap (parity-0) slices
+        xdp = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        ys = []
+        for pd in (0, 1):
+            for ph in (0, 1):
+                for pw in (0, 1):
+                    pad2 = (
+                        (1, 0) if ph == 0 else (0, 0),
+                        (1, 0) if pw == 0 else (0, 0),
+                    )
+                    o = None
+                    for i, kd in enumerate(taps[pd]):
+                        xs = (xdp[:, i : i + D] if pd == 0 else x).reshape(
+                            N * D, H, W, C
+                        )
+                        k2 = w[kd][np.array(taps[ph])][:, np.array(taps[pw])]
+                        t = jax.lax.conv_general_dilated(
+                            xs,
+                            k2,
+                            (1, 1),
+                            pad2,
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.float32,
+                        )
+                        o = t if o is None else o + t
+                    ys.append(o.reshape(N, D, H, W, self.features).astype(dt))
+        y = jnp.stack(ys, axis=0).reshape(2, 2, 2, N, D, H, W, self.features)
+        y = y.transpose(3, 4, 0, 5, 1, 6, 2, 7)  # N, D,pd, H,ph, W,pw, O
+        return y.reshape(N, 2 * D, 2 * H, 2 * W, self.features)
+
+
 class DeconvNorm(nn.Module):
     """2x transposed-conv upsample + norm (2D or 3D by ``ndim``)."""
 
@@ -172,17 +277,23 @@ class DeconvNorm(nn.Module):
     gn: bool = True
     groups: int = 32
     dtype: Optional[Dtype] = None
+    decomposed: bool = True  # parity-decomposed 3D deconv (False = native)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(
-            self.features,
-            (3,) * self.ndim,
-            strides=(2,) * self.ndim,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        if self.ndim == 3 and self.decomposed:
+            x = ConvTranspose3dFast(
+                self.features, dtype=self.dtype, name="ConvTranspose_0"
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                (3,) * self.ndim,
+                strides=(2,) * self.ndim,
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
         return Norm(self.gn, self.groups, dtype=self.dtype)(x, train)
 
 

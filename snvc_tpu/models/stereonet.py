@@ -174,26 +174,34 @@ class StereoNet(nn.Module):
 def frustum_img_to_bev(img_feat, P_mat, cfg: StereoConfig):
     """Project the RPN image feature into the BEV by sampling it at each
     BEV cell's anchor-height 3D point (cheap analog of the reference's
-    cat_img_feature path)."""
-    from snvc_tpu.ops.grid_sample import grid_sample_2d
+    cat_img_feature path).
+
+    The BEV grid at fixed anchor height is separable in image coordinates
+    for rectified projections (P[2, :2] = 0): the image row v depends only
+    on the BEV z-row and the column u on (z-row, x), so the bilinear
+    resample with zeros padding is two hat-weight einsums on the MXU
+    instead of a per-cell XLA gather (pathological on TPU)."""
+    from snvc_tpu.ops.frustum_pallas import _hat
 
     nz, nx = cfg.bev_size
-    y = cfg.anchors_y[0]
-    locs = bev_locations(cfg)  # [Z*X, 2] (x, z)
-    pts = np.concatenate(
-        [locs[:, :1], np.full((len(locs), 1), y, np.float32), locs[:, 1:]], axis=1
+    y = float(cfg.anchors_y[0])
+    zs = jnp.asarray(
+        cfg.z_min + (np.arange(nz, dtype=np.float32) + 0.5) * cfg.voxel_z
     )
-    pts = jnp.asarray(pts)
+    xs = jnp.asarray(
+        cfg.x_min + (np.arange(nx, dtype=np.float32) + 0.5) * cfg.voxel_x
+    )
 
     def one(f, P):
-        uvw = pts @ P[:, :3].T + P[:, 3]
-        u = uvw[:, 0] / uvw[:, 2] / 4.0
-        v = uvw[:, 1] / uvw[:, 2] / 4.0
         Hf, Wf = f.shape[0], f.shape[1]
-        gx = (2 * u + 1) / Wf - 1.0
-        gy = (2 * v + 1) / Hf - 1.0
-        grid = jnp.stack([gx, gy], axis=-1)
-        return grid_sample_2d(f[None], grid[None])[0]
+        w = zs + P[2, 3]
+        u = (P[0, 0] * xs[None, :] + P[0, 2] * zs[:, None] + P[0, 3]) / w[
+            :, None
+        ] / 4.0
+        v = (P[1, 1] * y + P[1, 2] * zs + P[1, 3]) / w / 4.0
+        hu = _hat(u, Wf)  # [nz, nx, Wf]
+        hv = _hat(v, Hf)  # [nz, Hf]
+        t = jnp.einsum("zh,hwc->zwc", hv, f.astype(jnp.float32))
+        return jnp.einsum("zxw,zwc->zxc", hu, t).astype(f.dtype)
 
-    s = jax.vmap(one)(img_feat, P_mat)  # [N, Z*X, C]
-    return s.reshape(-1, nz, nx, img_feat.shape[-1])
+    return jax.vmap(one)(img_feat, P_mat)  # [N, nz, nx, C]

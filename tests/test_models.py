@@ -165,3 +165,40 @@ class TestConv3dDecomposition:
         want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def test_convtranspose3d_fast_matches_native(self, rng):
+        """The 8-parity subpixel decomposition equals flax's native
+        ConvTranspose(k3, s2, SAME) bit-for-bit in f32."""
+        from flax import linen as nn
+        from snvc_tpu.models.layers import ConvTranspose3dFast
+
+        x = jnp.asarray(rng.standard_normal((2, 4, 6, 5, 6)), jnp.float32)
+        mod = ConvTranspose3dFast(4)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        got = mod.apply(v, x)
+        ref = nn.ConvTranspose(4, (3, 3, 3), strides=(2, 2, 2),
+                               padding="SAME", use_bias=False)
+        want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert got.shape == want.shape == (2, 8, 12, 10, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    @pytest.mark.parametrize("shape,groups", [((2, 6, 8, 16), 8),
+                                              ((2, 4, 6, 8, 32), 32),
+                                              ((3, 5, 12), 4)])
+    def test_fast_group_norm_matches_flax(self, rng, shape, groups):
+        from flax import linen as nn
+        from snvc_tpu.models.layers import FastGroupNorm
+
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        mod = FastGroupNorm(groups)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        # non-trivial affine params
+        v = {"params": {
+            "scale": jnp.asarray(rng.uniform(0.5, 2.0, shape[-1]), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32),
+        }}
+        got = mod.apply(v, x)
+        ref = nn.GroupNorm(num_groups=groups)
+        want = ref.apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

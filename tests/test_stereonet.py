@@ -95,6 +95,37 @@ class TestFrustum:
         ).reshape(1, nz, nx, ny, C)
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_img_to_bev_matches_grid_sample(self, cfg):
+        """The separable-matmul image->BEV projection equals the explicit
+        grid-sample formulation (zeros padding, align_corners=False)."""
+        from snvc_tpu.models.stereonet import frustum_img_to_bev
+        from snvc_tpu.ops.grid_sample import grid_sample_2d
+
+        rng = np.random.default_rng(1)
+        nz, nx = cfg.bev_size
+        f = jnp.asarray(rng.standard_normal((1, 12, 40, 6)), jnp.float32)
+        P = jnp.asarray(Calibration.default().as_array()[None])
+        got = np.asarray(frustum_img_to_bev(f, P, cfg))
+
+        locs = bev_locations(cfg)
+        y = cfg.anchors_y[0]
+        pts = np.concatenate(
+            [locs[:, :1], np.full((len(locs), 1), y, np.float32), locs[:, 1:]],
+            axis=1,
+        )
+        uvw = pts @ np.asarray(P[0, :, :3]).T + np.asarray(P[0, :, 3])
+        u = uvw[:, 0] / uvw[:, 2] / 4.0
+        v = uvw[:, 1] / uvw[:, 2] / 4.0
+        Hf, Wf = 12, 40
+        grid = jnp.asarray(
+            np.stack([(2 * u + 1) / Wf - 1.0, (2 * v + 1) / Hf - 1.0], axis=-1)[
+                None
+            ],
+            jnp.float32,
+        )
+        want = np.asarray(grid_sample_2d(f, grid)).reshape(1, nz, nx, 6)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
 
 class TestStereoNet:
     def test_output_shapes(self, stereo_out):
