@@ -69,3 +69,32 @@ class TestStereoTraining:
         assert np.all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
         assert float(m["num_pos"]) > 0
+
+    def test_data_parallel_step_on_mesh(self, kitti_root):
+        """The sharded stereo step runs on a data-parallel mesh and matches
+        the unsharded step's loss on the same batch."""
+        import jax.numpy as jnp
+
+        from snvc_tpu.parallel.api import make_mesh
+
+        cfg = _cfg()
+        tc = TrainConfig(lr=3e-4, warmup_steps=1, total_steps=20, grad_clip=5.0)
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=2, max_gt=8)
+        batch = next(pipe.batches()).arrays()
+        mesh = make_mesh(n_data=2, n_model=1)
+        model = StereoNet(cfg)
+        state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        ref_state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        step = make_stereo_train_step(model, cfg, tc, mesh=mesh)
+        ref_step = make_stereo_train_step(model, cfg, tc)
+        state, m = step(state, batch)
+        ref_state, ref_m = ref_step(ref_state, batch)
+        assert np.isfinite(float(m["total"]))
+        np.testing.assert_allclose(
+            float(m["total"]), float(ref_m["total"]), rtol=1e-4
+        )
+        # params advanced identically (data-parallel grads are averaged)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(ref_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
