@@ -133,6 +133,111 @@ def frustum_to_voxel_pallas(
     return jnp.stack([one(volume[i], P_mat[i]) for i in range(N)])
 
 
+def _kernel_v2(d0_ref, fd_ref, hu_ref, hvx_ref, sel_ref, p0_ref, p1_ref,
+               out_ref, acc_ref, *, ny, nk):
+    """Grid (nz, nk) over z-rows x C*Hf chunks.  Layout: channels x rows on
+    sublanes ([C*Hf, Wf] planes, chunked to [CK, Wf] blocks), columns on
+    lanes.  Per step: one MXU-perfect [CK, Wf] @ [Wf, nx] stage-1 matmul,
+    then per y a [C, CK] hat-weighted select-matmul accumulated into a
+    [ny, C, nx] scratch; the scratch flushes to the out block on the last
+    chunk.  Blocks: hu [1, Wf, nx]; hvx [1, ny, CK] (hv tiled over C);
+    sel [C, CK] static 0/1 (k // Hf == c); p0/p1 [1, CK, Wf];
+    out [1, ny, C, nx]."""
+    zi = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    fd = fd_ref[zi]  # f32 scalar (SMEM)
+    volz = p0_ref[0] * (1.0 - fd) + p1_ref[0] * fd  # [CK, Wf]
+    volz = volz.astype(p0_ref.dtype)
+    tmp = jnp.dot(
+        volz, hu_ref[0], preferred_element_type=jnp.float32
+    ).astype(volz.dtype)  # [CK, nx]
+    sel = sel_ref[...]
+    for yi in range(ny):
+        sel_y = (sel * hvx_ref[0, yi][None, :]).astype(volz.dtype)
+        acc_ref[yi] += jnp.dot(
+            sel_y, tmp, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def frustum_to_voxel_pallas_v2(
+    volume,
+    P_mat,
+    depths: np.ndarray,
+    bev_zs: np.ndarray,
+    bev_xs: np.ndarray,
+    bev_ys: np.ndarray,
+    feature_stride: int = 4,
+    interpret: bool = False,
+    chunk: int = 512,
+):
+    """Same contract as frustum_to_voxel_pallas; MXU-shaped v2 (see
+    _kernel_v2).  Stage 1 is [CK, Wf] @ [Wf, nx] per chunk instead of
+    v1's ny lane-starved select-matmuls over the full [nx, Hf*C] row."""
+    N, D, Hf, Wf, C = volume.shape
+    nz, nx, ny = len(bev_zs), len(bev_xs), len(bev_ys)
+    CHf = C * Hf
+    ck = min(chunk, CHf)
+    while CHf % ck:
+        ck -= 8
+    nk = CHf // ck
+    d0 = np.clip(np.searchsorted(depths, bev_zs, side="right") - 1, 0, D - 2)
+    span = np.maximum(depths[d0 + 1] - depths[d0], 1e-6)
+    fd = np.clip((bev_zs - depths[d0]) / span, 0.0, 1.0).astype(np.float32)
+    d0_t = jnp.asarray(d0.astype(np.int32))
+    fd_t = jnp.asarray(fd)
+    zs = jnp.asarray(bev_zs.astype(np.float32))
+    xs = jnp.asarray(bev_xs.astype(np.float32))
+    ys = jnp.asarray(bev_ys.astype(np.float32))
+    k = np.arange(CHf)
+    sel = jnp.asarray((k[None, :] // Hf == np.arange(C)[:, None]))
+
+    kernel = functools.partial(_kernel_v2, ny=ny, nk=nk)
+
+    def one(vol, P):
+        w = zs[:, None] + P[2, 3]
+        u = (P[0, 0] * xs[None, :] + P[0, 2] * zs[:, None] + P[0, 3]) / w / feature_stride
+        v = (P[1, 1] * ys[None, :] + P[1, 2] * zs[:, None] + P[1, 3]) / w / feature_stride
+        huT = _hat(u, Wf).transpose(0, 2, 1).astype(vol.dtype)  # [nz, Wf, nx]
+        # f32: Mosaic only supports dynamic sublane indexing on f32 refs
+        hvx = jnp.tile(_hat(v, Hf), (1, 1, C)).astype(jnp.float32)  # [nz, ny, C*Hf]
+        volT = vol.transpose(0, 3, 1, 2).reshape(D, CHf, Wf)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nz, nk),
+            in_specs=[
+                pl.BlockSpec((1, Wf, nx), lambda zi, ki, d0, fd: (zi, 0, 0)),
+                pl.BlockSpec((1, ny, ck), lambda zi, ki, d0, fd: (zi, 0, ki)),
+                pl.BlockSpec((C, ck), lambda zi, ki, d0, fd: (0, ki)),
+                pl.BlockSpec((1, ck, Wf), lambda zi, ki, d0, fd: (d0[zi], ki, 0)),
+                pl.BlockSpec(
+                    (1, ck, Wf), lambda zi, ki, d0, fd: (d0[zi] + 1, ki, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ny, C, nx), lambda zi, ki, d0, fd: (zi, 0, 0, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((ny, C, nx), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nz, ny, C, nx), vol.dtype),
+            interpret=interpret,
+        )(d0_t, fd_t, huT, hvx, sel.astype(vol.dtype), volT, volT)
+        return out.transpose(0, 3, 1, 2)  # [nz, nx, ny, C]
+
+    return jnp.stack([one(volume[i], P_mat[i]) for i in range(N)])
+
+
 def frustum_pallas_available(Hf, Wf, C) -> bool:
     if not _HAS_PLTPU or jax.default_backend() == "cpu":
         return False

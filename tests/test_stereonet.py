@@ -95,6 +95,35 @@ class TestFrustum:
         ).reshape(1, nz, nx, ny, C)
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_pallas_kernel_v2_matches_v1(self):
+        """The chunked MXU-shaped v2 kernel equals v1 (interpret mode)."""
+        from snvc_tpu.ops.frustum_pallas import (
+            frustum_to_voxel_pallas,
+            frustum_to_voxel_pallas_v2,
+        )
+
+        rng = np.random.default_rng(5)
+        D, Hf, Wf, C = 6, 16, 24, 8
+        nz, nx, ny = 10, 12, 4
+        depths = np.linspace(4.0, 30.0, D).astype(np.float32)
+        zs = (4.0 + (np.arange(nz) + 0.5) * 2.0).astype(np.float32)
+        xs = (-6.0 + (np.arange(nx) + 0.5) * 1.0).astype(np.float32)
+        ys = (-1.0 + (np.arange(ny) + 0.5) * 0.8).astype(np.float32)
+        vol = rng.standard_normal((1, D, Hf, Wf, C)).astype(np.float32)
+        P = np.array(
+            [[80.0, 0, 48.0, 2.0], [0, 80.0, 32.0, -0.3], [0, 0, 1, 0.005]],
+            np.float32,
+        )
+        a = np.asarray(frustum_to_voxel_pallas(
+            jnp.asarray(vol), jnp.asarray(P[None]), depths, zs, xs, ys, 4,
+            interpret=True,
+        ))
+        b = np.asarray(frustum_to_voxel_pallas_v2(
+            jnp.asarray(vol), jnp.asarray(P[None]), depths, zs, xs, ys, 4,
+            interpret=True, chunk=64,
+        ))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
     def test_img_to_bev_matches_grid_sample(self, cfg):
         """The separable-matmul image->BEV projection equals the explicit
         grid-sample formulation (zeros padding, align_corners=False)."""
