@@ -6,12 +6,16 @@ per second, the framework's north-star serving metric (BASELINE.md: the
 reference publishes no numbers; its documented operating point is
 batch<=10 on a 12 GB TITAN Xp).
 
-vs_baseline uses a reference anchor of 10 instances/sec — a generous
-estimate for the reference model at batch 10 on its documented GPU — until
-a measured reference number exists (BASELINE.md measurement plan).
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6)
+and no measured anchor exists yet, so the ratio is computed against a
+DECLARED (not measured) anchor and the JSON labels it as such via
+"baseline_anchor"/"baseline_kind" — see BASELINE.md's measurement plan.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+--model stereo benches the global model (stereo pairs/sec/chip);
+--config flagship benches the release-scale 32x192x192 instance grid.
 """
 
 import argparse
@@ -124,7 +128,9 @@ def main():
                     "metric": "stereonet_throughput",
                     "value": round(pps, 2),
                     "unit": "stereo_pairs/sec/chip",
-                    "vs_baseline": round(pps / 1.0, 3),  # ref est. ~1 pair/s
+                    "vs_baseline": round(pps / 1.0, 3),
+                    "baseline_anchor": 1.0,
+                    "baseline_kind": "declared_not_measured",
                 }
             )
         )
@@ -217,6 +223,8 @@ def main():
                 "vs_baseline": round(
                     inst_per_sec / REFERENCE_ANCHOR_INSTANCES_PER_SEC, 3
                 ),
+                "baseline_anchor": REFERENCE_ANCHOR_INSTANCES_PER_SEC,
+                "baseline_kind": "declared_not_measured",
             }
         )
     )

@@ -39,6 +39,10 @@ int decode_png(const char* path, uint8_t* out, int oh, int ow) {
     fclose(fp);
     return 3;
   }
+  // row is constructed BEFORE setjmp: a longjmp back here must not skip
+  // a live vector's destructor (the error path below returns normally, so
+  // row is destroyed and the buffer is not leaked on malformed PNGs).
+  std::vector<uint8_t> row;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -64,7 +68,7 @@ int decode_png(const char* path, uint8_t* out, int oh, int ow) {
   if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
-  std::vector<uint8_t> row(png_get_rowbytes(png, info));
+  row.resize(png_get_rowbytes(png, info));
   const int copy_w = static_cast<int>(w) < ow ? static_cast<int>(w) : ow;
   const int copy_h = static_cast<int>(h) < oh ? static_cast<int>(h) : oh;
   for (int y = 0; y < static_cast<int>(h); ++y) {

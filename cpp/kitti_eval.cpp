@@ -319,13 +319,17 @@ Stats frameStats(int cls, int metric, const std::vector<Object>& gt,
     for (size_t j = 0; j < det.size(); ++j)
       if (!(assigned[j] || m.det[j] == -1 || m.det[j] == 1 || below[j]))
         ++st.fp;
-    // DontCare areas absorb remaining detections
+    // DontCare areas absorb remaining detections. Always via the 2D image
+    // overlap, whatever the metric: DontCare GT rows carry placeholder 3D
+    // fields (-1 dims, -1000 location), so BEV/3D overlap against them is
+    // ~0 and would never absorb anything (reference
+    // evaluate_object_3d_offline.cpp:582 uses boxoverlap unconditionally).
     int nstuff = 0;
     for (int dci : m.dontcare) {
       for (size_t j = 0; j < det.size(); ++j) {
         if (assigned[j] || m.det[j] == -1 || m.det[j] == 1 || below[j])
           continue;
-        if (overlap(det[j], gt[dci], 0) > min_ov) {
+        if (imageOverlap(det[j], gt[dci], 0) > min_ov) {
           assigned[j] = true;
           ++nstuff;
         }

@@ -139,6 +139,9 @@ class VernierConfig(_Base):
     use_bbox_head: bool = False
     use_part_reg_head: bool = False
     head_reg_type: str = "vector2d"
+    # stereo feature aggregation into the voxel: "concat" |
+    # "concat-atten" (cosine-similarity gating, reference vernier.py:341-344)
+    feature_aggregation: str = "concat"
     # --- instance grid (the "Vernier scale") ---
     # grid_resolution = (nh, nw, nl): samples along y (height), x (width),
     # z (length) of the object frame; reference example 32x192x192

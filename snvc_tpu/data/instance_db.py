@@ -88,19 +88,64 @@ def build_db_from_predictions(
     return db
 
 
+def in_fov(
+    box: np.ndarray,
+    calib_left: Calibration,
+    calib_right: Calibration,
+    image_hw,
+) -> bool:
+    """Is a 3D box visible to both cameras?
+
+    The reference gates perturbation trials on a ``_check_fov`` predicate
+    that is declared (KITTIRefinement_dataset.py:311-318, cfg.check_fov)
+    but not released; this is our definition: every corner must have
+    positive depth and the box center must project inside both image
+    rectangles (a center-visible box yields usable stereo ROI crops).
+    """
+    from snvc_tpu.geometry.boxes import box_corners_cam
+
+    H, W = image_hw
+    corners = box_corners_cam(box)  # [8, 3]
+    center = np.array([box[3], box[4] - 0.5 * box[0], box[5]], np.float32)
+    if corners[:, 2].min() <= 0.1:
+        return False
+    for calib in (calib_left, calib_right):
+        uv = calib.rect_to_image(center[None])[0]
+        if not (0 <= uv[0] < W and 0 <= uv[1] < H):
+            return False
+    return True
+
+
 def perturb_box(
-    box: np.ndarray, cfg: VernierConfig, rng: np.random.Generator
+    box: np.ndarray,
+    cfg: VernierConfig,
+    rng: np.random.Generator,
+    calib_left: Optional[Calibration] = None,
+    calib_right: Optional[Calibration] = None,
+    max_trials: int = 10,
 ) -> np.ndarray:
     """Gaussian proposal noise around a GT box
-    (reference _generate_noise/_purturb_3D_box:284-321)."""
-    noise = np.zeros(7)
-    if cfg.rot_aug:
-        noise[6] = rng.normal() * float(cfg.std_rot) * np.pi / 180.0
-    if cfg.loc_aug:
-        noise[3:6] = rng.normal(size=3) * np.asarray(cfg.std_loc)
-    if cfg.dim_aug:
-        noise[:3] = rng.normal(size=3) * np.asarray(cfg.std_dim)
-    return (box + noise).astype(np.float32)
+    (reference _generate_noise/_purturb_3D_box:284-321).
+
+    With cfg.check_fov (and calibrations provided), up to ``max_trials``
+    noise draws are attempted until the perturbed box stays in both
+    cameras' view; if every trial fails the unperturbed box is returned
+    (the fixed-shape batch cannot drop the sample like the reference's
+    dynamic list does)."""
+    check = cfg.check_fov and calib_left is not None and calib_right is not None
+    trials = max_trials if check else 1
+    for _ in range(trials):
+        noise = np.zeros(7)
+        if cfg.rot_aug:
+            noise[6] = rng.normal() * float(cfg.std_rot) * np.pi / 180.0
+        if cfg.loc_aug:
+            noise[3:6] = rng.normal(size=3) * np.asarray(cfg.std_loc)
+        if cfg.dim_aug:
+            noise[:3] = rng.normal(size=3) * np.asarray(cfg.std_dim)
+        sample = (box + noise).astype(np.float32)
+        if not check or in_fov(sample, calib_left, calib_right, cfg.image_size):
+            return sample
+    return box.astype(np.float32).copy()
 
 
 def attach_nearest_gt(

@@ -194,7 +194,10 @@ class RefinementPipeline:
             else:
                 base = rec.label
                 sample = (
-                    perturb_box(base, cfg, self.rng)
+                    perturb_box(
+                        base, cfg, self.rng,
+                        calib_left=rec.calib_left, calib_right=rec.calib_right,
+                    )
                     if (self.training and cfg.augment) or cfg.sup_type == "synthetic"
                     else base.copy()
                 )

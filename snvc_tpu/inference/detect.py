@@ -57,7 +57,8 @@ def decode_proposals(
     A, K = cfg.num_angles, cfg.num_classes
     locations = jnp.asarray(bev_locations(cfg))  # [L, 2]
     L = locations.shape[0]
-    anchors_y = float(cfg.anchors_y[0])
+    # per-class anchor heights when configured (matches assign_targets)
+    anchors_y = jnp.broadcast_to(jnp.asarray(cfg.anchors_y), (K,))
 
     def one(cls, reg, ctr):
         cls = cls.reshape(L, A, K)
@@ -65,15 +66,15 @@ def decode_proposals(
         ctr = ctr.reshape(L, A)
         score = jax.nn.sigmoid(cls) * jax.nn.sigmoid(ctr)[..., None]
         score = score.reshape(L * A * K)
-        anchor3d = jnp.concatenate(
+        anchor3d = jnp.stack(
             [
-                locations[:, :1],
-                jnp.full((L, 1), anchors_y),
-                locations[:, 1:],
+                jnp.broadcast_to(locations[:, 0:1], (L, K)),
+                jnp.broadcast_to(anchors_y[None, :], (L, K)),
+                jnp.broadcast_to(locations[:, 1:2], (L, K)),
             ],
-            axis=1,
-        )
-        corners = reg + jnp.tile(anchor3d, (1, 8))[:, None, None, :]
+            axis=-1,
+        )  # [L, K, 3]
+        corners = reg + jnp.tile(anchor3d, (1, 1, 8))[:, None, :, :]
         boxes = corners24_to_box3d(corners).reshape(L * A * K, 7)
         # keep the top pool before NMS to bound the IoU matrix
         pool = min(4 * max_boxes, L * A * K)

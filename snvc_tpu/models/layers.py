@@ -33,7 +33,8 @@ class FastGroupNorm(nn.Module):
     """GroupNorm computed as per-(sample, group) f32 moments followed by a
     single fused ``x * a + b`` pass in the compute dtype.
 
-    Numerically identical to nn.GroupNorm(eps=1e-6) but avoids the grouped
+    Numerically identical to nn.GroupNorm(epsilon=1e-5 — torch's default,
+    for checkpoint parity with the reference) but avoids the grouped
     reshape of the full activation (flax normalizes a [..., G, C//G] f32
     view of the whole tensor, which on large NDHWC volumes materializes
     f32 copies); here only the [N, C] channel moments are reshaped.
@@ -41,7 +42,7 @@ class FastGroupNorm(nn.Module):
     converted torch checkpoints load unchanged."""
 
     groups: int
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5  # torch nn.GroupNorm default (reference parity)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -167,6 +168,10 @@ class Conv3d(nn.Module):
             start = dz * dil
             xs = xp[:, start : start + (Do - 1) * sd + 1 : sd]
             xs = xs.reshape(N * Do, H, W, C)
+            # no preferred_element_type widening: a (bf16, bf16) -> f32 conv
+            # has no transpose rule (grad dies with a dtype mismatch); the
+            # MXU accumulates in f32 internally either way, and the cross-
+            # tap sum is upcast explicitly below
             o = jax.lax.conv_general_dilated(
                 xs,
                 w[dz],
@@ -174,8 +179,7 @@ class Conv3d(nn.Module):
                 "SAME",
                 rhs_dilation=(dil, dil),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
+            ).astype(jnp.float32)
             out = o if out is None else out + o
         out = out.astype(dt)
         if self.use_bias:
@@ -208,19 +212,24 @@ class ConvNorm3d(nn.Module):
 
 
 class ConvTranspose3dFast(nn.Module):
-    """k3 stride-2 SAME 3D transposed conv as 8 parity sub-convolutions.
+    """k3 stride-2 2x-upsampling 3D transposed conv as 8 parity sub-convs.
 
     XLA's TPU lowering of the native input-dilated Conv3D is pathological
     (measured 630 ms for the full-res hourglass deconv vs <100 ms for the
-    equivalent forward convs).  With k=3, s=2, SAME (jax pads (2,1) on the
-    dilated input) each output parity class per axis sees fixed kernel
-    taps:
-        y[2j]   = w[0] x[j-1] + w[2] x[j]      (2-tap conv, pad (1,0))
-        y[2j+1] = w[1] x[j]                    (1-tap)
+    equivalent forward convs).  Alignment matches torch's
+    ConvTranspose3d(k=3, s=2, p=1, output_padding=1) — the reference's only
+    deconv configuration (snvc/models/submodule.py:127-211) — i.e. explicit
+    padding (1, 2) on the dilated input.  Each output parity class per axis
+    then sees fixed kernel taps (k = stored flax kernel = spatially-flipped
+    torch kernel, see utils/convert_torch.py):
+        y[2j]   = k[1] x[j]                    (1-tap)
+        y[2j+1] = k[0] x[j] + k[2] x[j+1]      (2-tap conv, pad (0,1))
     so the 3D transposed conv is exactly 8 small forward convolutions over
     the *undilated* input (no zero-multiply waste), interleaved.  The
-    parameter ("kernel", [3,3,3,I,O]) matches nn.ConvTranspose — converted
-    checkpoints load unchanged; parity test in tests/test_models.py."""
+    parameter ("kernel", [3,3,3,I,O]) matches nn.ConvTranspose with
+    padding ((1,2),)*3 — converted checkpoints (flipped by the converter)
+    load unchanged; parity tests in tests/test_models.py and
+    tests/test_convert_torch.py."""
 
     features: int
     dtype: Optional[Dtype] = None
@@ -237,31 +246,32 @@ class ConvTranspose3dFast(nn.Module):
         dt = self.dtype or x.dtype
         w = w.astype(dt)
         x = x.astype(dt)
-        taps = {0: (0, 2), 1: (1,)}  # parity -> kernel tap indices
-        # depth padded once for the 2-tap (parity-0) slices
-        xdp = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        taps = {0: (1,), 1: (0, 2)}  # parity -> kernel tap indices
+        # depth padded once for the 2-tap (parity-1) slices
+        xdp = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
         ys = []
         for pd in (0, 1):
             for ph in (0, 1):
                 for pw in (0, 1):
                     pad2 = (
-                        (1, 0) if ph == 0 else (0, 0),
-                        (1, 0) if pw == 0 else (0, 0),
+                        (0, 1) if ph == 1 else (0, 0),
+                        (0, 1) if pw == 1 else (0, 0),
                     )
                     o = None
                     for i, kd in enumerate(taps[pd]):
-                        xs = (xdp[:, i : i + D] if pd == 0 else x).reshape(
+                        xs = (xdp[:, i : i + D] if pd == 1 else x).reshape(
                             N * D, H, W, C
                         )
                         k2 = w[kd][np.array(taps[ph])][:, np.array(taps[pw])]
+                        # no preferred_element_type: see Conv3d (grad has no
+                        # transpose rule for dtype-widening convs)
                         t = jax.lax.conv_general_dilated(
                             xs,
                             k2,
                             (1, 1),
                             pad2,
                             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                            preferred_element_type=jnp.float32,
-                        )
+                        ).astype(jnp.float32)
                         o = t if o is None else o + t
                     ys.append(o.reshape(N, D, H, W, self.features).astype(dt))
         y = jnp.stack(ys, axis=0).reshape(2, 2, 2, N, D, H, W, self.features)
@@ -290,7 +300,9 @@ class DeconvNorm(nn.Module):
                 self.features,
                 (3,) * self.ndim,
                 strides=(2,) * self.ndim,
-                padding="SAME",
+                # torch ConvTranspose(k3, s2, p1, op1) alignment, matching
+                # ConvTranspose3dFast (kernels are flipped-torch layout)
+                padding=((1, 2),) * self.ndim,
                 use_bias=False,
                 dtype=self.dtype,
             )(x)

@@ -52,18 +52,30 @@ def gt_corners_24(gt_boxes):
 
 def assign_targets(
     locations, anchors_y, gt_boxes, gt_valid, gt_classes, num_classes: int,
-    norm_factor: float = 1.0,
+    anchor_angles=None, norm_factor: float = 1.0,
 ):
-    """BEV anchor-free assignment for one frame.
+    """BEV anchor-free assignment for one frame, angle-bin aware.
 
-    locations: [L, 2] (x, z); anchors_y: [K]; gt_boxes: [G, 7] padded;
-    gt_valid: [G]; gt_classes: [G] in [0, num_classes).
-    Returns (labels [L, num_classes] {0,1},
-             reg_targets [L, num_classes, 24],
+    locations: [L, 2] (x, z); anchors_y: [1] or [num_classes] anchor
+    heights (per-class when multiple are configured, ANCHORS_Y in the
+    reference); gt_boxes: [G, 7] padded; gt_valid: [G]; gt_classes: [G] in
+    [0, num_classes); anchor_angles: [A] yaw anchors (ANCHOR_ANGLES) or
+    None for a single bin.
+
+    A location inside a GT footprint is positive only at the angle bin
+    whose anchor yaw is nearest (mod pi) to the GT yaw — the on-device
+    equivalent of the reference's precomputed per-(location, angle) labels
+    map (loss3d.py:188-199; the head allocates A*K channels,
+    stereonet.py:164-167, so the loss must distinguish them).
+
+    Returns (labels [L, A, num_classes] {0,1},
+             reg_targets [L, num_classes, 24] — angle-independent,
              centerness [L] in [0, 1]).
     """
     L = locations.shape[0]
-    G = gt_boxes.shape[0]
+    if anchor_angles is None:
+        anchor_angles = jnp.zeros((1,))
+    A = anchor_angles.shape[0]
     # inside-footprint test in each gt's frame
     dx = locations[:, 0:1] - gt_boxes[None, :, 3]  # [L, G]
     dz = locations[:, 1:2] - gt_boxes[None, :, 5]
@@ -83,25 +95,37 @@ def assign_targets(
     best_dist = jnp.take_along_axis(dist_masked, best[:, None], axis=1)[:, 0]
     centerness = jnp.where(pos, jnp.exp(-best_dist * norm_factor), 0.0)
 
-    # per-class one-hot labels at positives
+    # nearest angle bin (mod pi: a footprint supports two headings; the
+    # bins partition orientation, heading is recovered by the regression)
+    best_ry = jnp.take(gt_boxes[:, 6], best)  # [L]
+    ang_d = best_ry[:, None] - anchor_angles[None, :]
+    ang_d = jnp.abs(jnp.mod(ang_d + jnp.pi / 2, jnp.pi) - jnp.pi / 2)
+    best_angle = jnp.argmin(ang_d, axis=1)  # [L]
+
+    # per-(angle, class) one-hot labels at positives
     best_cls = jnp.take(gt_classes, best)
     labels = (
-        jax.nn.one_hot(best_cls, num_classes) * pos[:, None].astype(jnp.float32)
+        jax.nn.one_hot(best_angle, A)[:, :, None]
+        * jax.nn.one_hot(best_cls, num_classes)[:, None, :]
+        * pos[:, None, None].astype(jnp.float32)
     )
 
-    # corner regression targets from the (location, anchor-y) 3D point
+    # corner regression targets from the (location, anchor-y) 3D point;
+    # anchors_y indexes per class when a height per class is configured
+    ay = jnp.broadcast_to(jnp.asarray(anchors_y), (num_classes,))  # [K]
     corners = gt_corners_24(gt_boxes)  # [G, 8, 3]
     tgt_corners = corners[best]  # [L, 8, 3]
     anchor3d = jnp.stack(
         [
-            locations[:, 0],
-            jnp.full((L,), anchors_y[0]),
-            locations[:, 1],
+            jnp.broadcast_to(locations[:, 0:1], (L, num_classes)),
+            jnp.broadcast_to(ay[None, :], (L, num_classes)),
+            jnp.broadcast_to(locations[:, 1:2], (L, num_classes)),
         ],
-        axis=1,
+        axis=-1,
+    )  # [L, K, 3]
+    reg = (tgt_corners[:, None] - anchor3d[:, :, None, :]).reshape(
+        L, num_classes, 24
     )
-    offs = (tgt_corners - anchor3d[:, None, :]).reshape(L, 24)
-    reg = jnp.broadcast_to(offs[:, None, :], (L, num_classes, 24))
     return labels, reg, centerness
 
 
@@ -137,17 +161,20 @@ def rpn3d_loss(
     N = outputs["cls"].shape[0]
     L = locations.shape[0]
     anchors_y = jnp.asarray(cfg.anchors_y)
+    anchor_angles = jnp.asarray(cfg.anchor_angles[:A])
 
     labels, reg_t, ctr_t = jax.vmap(
-        lambda b, v, c: assign_targets(locations, anchors_y, b, v, c, K)
+        lambda b, v, c: assign_targets(
+            locations, anchors_y, b, v, c, K, anchor_angles
+        )
     )(gt_boxes, gt_valid, gt_classes)
-    # [N, L, K], [N, L, K, 24], [N, L]
+    # [N, L, A, K], [N, L, K, 24], [N, L]
 
     cls = outputs["cls"].reshape(N, L, A, K)
     reg = outputs["reg"].reshape(N, L, A, K, 24)
     ctr = outputs["centerness"].reshape(N, L, A)
 
-    labels_ak = jnp.broadcast_to(labels[:, :, None, :], cls.shape)
+    labels_ak = labels
     num_pos = jnp.sum(labels_ak)
     cls_loss = sigmoid_focal_multi_target(
         cls, labels_ak, cfg.focal_gamma, cfg.focal_alpha
@@ -158,9 +185,7 @@ def rpn3d_loss(
     per = jnp.mean(smooth_l1(reg, reg_t_ak), axis=-1)  # [N, L, A, K]
     reg_loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
-    pos_a = jnp.any(labels[:, :, None, :] > 0, axis=-1) & jnp.ones(
-        (N, L, A), bool
-    )
+    pos_a = jnp.any(labels_ak > 0, axis=-1)  # [N, L, A]
     ctr_tgt = jnp.broadcast_to(ctr_t[:, :, None], ctr.shape)
     bce = optax_sigmoid_bce(ctr, ctr_tgt)
     ctr_loss = jnp.sum(bce * pos_a) / jnp.maximum(jnp.sum(pos_a), 1.0)

@@ -34,7 +34,7 @@ from snvc_tpu.ops.cost_volume import build_cost_volume
 from snvc_tpu.ops.frustum import frustum_to_voxel
 from snvc_tpu.ops.frustum_pallas import (
     frustum_pallas_available,
-    frustum_to_voxel_pallas,
+    frustum_to_voxel_pallas_diff,
 )
 
 Dtype = Any
@@ -141,7 +141,7 @@ class StereoNet(nn.Module):
                 zs = cfg.z_min + (np.arange(nz) + 0.5) * cfg.voxel_z
                 xs = cfg.x_min + (np.arange(nx) + 0.5) * cfg.voxel_x
                 ys = cfg.y_min + (np.arange(ny) + 0.5) * cfg.voxel_y
-                voxels = frustum_to_voxel_pallas(
+                voxels = frustum_to_voxel_pallas_diff(
                     vol, P_left, np.asarray(depth_hypotheses(cfg)),
                     zs, xs, ys, feature_stride=4,
                 )  # [N, nz, nx, ny, C]

@@ -116,18 +116,33 @@ class VernierEncoder(nn.Module):
         )
 
         if pallas_sampling_available(left_feat.shape, cfg.resolution):
-            return sample_stereo_voxel_pallas(
+            voxel = sample_stereo_voxel_pallas(
                 left_feat, right_feat, grid_proj_left, grid_proj_right,
                 cfg.resolution, cfg.grid_resolution,
             )
-        return sample_stereo_voxel(
-            left_feat,
-            right_feat,
-            grid_proj_left,
-            grid_proj_right,
-            cfg.resolution,
-            cfg.grid_resolution,
-        )
+        else:
+            voxel = sample_stereo_voxel(
+                left_feat,
+                right_feat,
+                grid_proj_left,
+                grid_proj_right,
+                cfg.resolution,
+                cfg.grid_resolution,
+            )
+        if cfg.feature_aggregation == "concat-atten":
+            # cosine-similarity gating of the concatenated halves
+            # (reference vernier.py:341-344) — applied on the voxel so both
+            # sampling backends share it
+            C = voxel.shape[-1] // 2
+            sl, sr = voxel[..., :C], voxel[..., C:]
+            num = jnp.sum(sl * sr, axis=-1, keepdims=True)
+            den = jnp.linalg.norm(sl, axis=-1, keepdims=True) * jnp.linalg.norm(
+                sr, axis=-1, keepdims=True
+            )
+            voxel = voxel * jnp.clip(num / jnp.maximum(den, 1e-8), 0.0, None)
+        elif cfg.feature_aggregation != "concat":
+            raise NotImplementedError(cfg.feature_aggregation)
+        return voxel
 
 
 class VernierHead(nn.Module):
@@ -193,8 +208,13 @@ class VernierHead(nn.Module):
         x = nn.relu(ConvNorm3d(dim, 3, gn=cfg.gn, groups=g, dtype=self.dtype)(x, train))
         h, _, _ = Hourglass(dim, ndim=3, gn=cfg.gn, dtype=self.dtype)(x, None, None, train)
         x = x + h
-        ncf = Conv3d(1, (1, 1, 1), dtype=self.dtype)(x)
-        # [N, nh, nw, nl, 1] -> [N, 1, nh, nw, nl]
+        # per-part 3D confidence fields, matching the grid_type='3D'
+        # targets (heatmaps_3d).  The reference hard-codes 1 output channel
+        # ("only predicts the confidence of the 3D center", vernier.py:122)
+        # while its dataset draws num_parts fields — consistent only at
+        # num_parts=1; using cfg.num_parts keeps both in lockstep.
+        ncf = Conv3d(cfg.num_parts, (1, 1, 1), dtype=self.dtype)(x)
+        # [N, nh, nw, nl, P] -> [N, P, nh, nw, nl]
         ncf = jnp.moveaxis(ncf, -1, 1)
         return dict(ncf=ncf, occupancy=None, offset=None, coordinates=None, bbox=None)
 

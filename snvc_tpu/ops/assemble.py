@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from snvc_tpu.config import VernierConfig
-from snvc_tpu.ops.heatmaps import bev_part_heatmaps
+from snvc_tpu.ops.heatmaps import bev_part_heatmaps, heatmaps_3d
 from snvc_tpu.ops.points_in_boxes import (
     _local_coords,
     grid_to_cam_jnp,
@@ -108,8 +108,8 @@ def assemble_instances(
 def part_centers_in_grid(samples, gt_boxes, cfg: VernierConfig):
     """Part positions of the GT boxes in *voxel index* units of each
     sample's grid: ([B, P, 2] (x=w idx, z=l idx), [B, P, 3] metric local
-    offsets) — reference _construct_neural_confidence_field
-    (KITTIRefinement_dataset.py:722-777)."""
+    offsets, [B, P, 3] (y, x, z) voxel indices) — reference
+    _construct_neural_confidence_field (KITTIRefinement_dataset.py:722-777)."""
     num_parts = cfg.num_parts
     nh, nw, nl = cfg.grid_resolution
 
@@ -130,11 +130,14 @@ def part_centers_in_grid(samples, gt_boxes, cfg: VernierConfig):
         )  # [P, 3] camera-frame part positions of the GT box
         center = jnp.stack([sample[3], sample[4] - 0.5 * sample[0], sample[5]])
         local = _local_coords(cam, center, sample[6])  # (w, h, l) coords
+        spa_y = (cfg.y_range[1] - cfg.y_range[0]) / (nh - 1)
         spa_x = (cfg.x_range[1] - cfg.x_range[0]) / (nw - 1)
         spa_z = (cfg.z_range[1] - cfg.z_range[0]) / (nl - 1)
+        iy = local[:, 1] / spa_y + 0.5 * (nh - 1)
         jx = local[:, 0] / spa_x + 0.5 * (nw - 1)
         kz = local[:, 2] / spa_z + 0.5 * (nl - 1)
-        return jnp.stack([jx, kz], axis=1), local
+        idx3 = jnp.stack([iy, jx, kz], axis=1)
+        return jnp.stack([jx, kz], axis=1), local, idx3
 
     return jax.vmap(one)(samples, gt_boxes)
 
@@ -151,12 +154,25 @@ def make_targets(
 
     samples/gt_boxes: [B, 7]; points: [B, Np, 3] rect-frame LiDAR (padded);
     points_valid: [B, Np] bool; grid_local: [G, 3].
-    Returns dict(ncf [B, P, nl, nw], occupancy [B, nh, nw, nl],
-    gt_corners_local [B, P, 3]).
+    Returns dict(ncf, occupancy [B, nh, nw, nl], gt_corners_local [B, P, 3]
+    [, offset [B, 3, P, nh, nw, nl]]) where ncf is [B, P, nl, nw] BEV
+    gaussians (grid_type '2D') or [B, P, nh, nw, nl] 3D gaussians
+    (grid_type '3D', reference _draw_heatmaps_3d,
+    KITTIRefinement_dataset.py:623-664 — trains the vernier_type='3D'
+    variant whose classifier emits per-part 3D fields).
+
+    The offset field (emitted when cfg.use_part_reg_head) is the per-voxel
+    displacement to each GT part in object-frame (x, y, z) = (w, h, l)
+    coordinates, normalized by the grid extent — the reference's
+    offsets_local (KITTIRefinement_dataset.py:758-766, consumed by
+    OffsetLoss, loss3d.py:530-545).
     """
     nh, nw, nl = cfg.grid_resolution
-    centers, local = part_centers_in_grid(samples, gt_boxes, cfg)
-    ncf = bev_part_heatmaps(centers, (nw, nl), cfg.sigma, quantize=True)
+    centers, local, idx3 = part_centers_in_grid(samples, gt_boxes, cfg)
+    if cfg.grid_type == "3D":
+        ncf = heatmaps_3d(idx3, (nh, nw, nl), cfg.sigma, quantize=True)
+    else:
+        ncf = bev_part_heatmaps(centers, (nw, nl), cfg.sigma, quantize=True)
     gh = cfg.y_range[1] - cfg.y_range[0]
     gw = cfg.x_range[1] - cfg.x_range[0]
     gl = cfg.z_range[1] - cfg.z_range[0]
@@ -165,4 +181,10 @@ def make_targets(
             p, v, s, g, grid_local, (nh, nw, nl), (gh, gw, gl)
         )
     )(points, points_valid, samples, gt_boxes)
-    return dict(ncf=ncf, occupancy=occ, gt_corners_local=local)
+    out = dict(ncf=ncf, occupancy=occ, gt_corners_local=local)
+    if cfg.use_part_reg_head:
+        B, P = local.shape[:2]
+        diff = local[:, :, None, :] - grid_local[None, None, :, :]  # [B,P,G,3]
+        diff = diff / jnp.array([gw, gh, gl])
+        out["offset"] = jnp.moveaxis(diff, 3, 1).reshape(B, 3, P, nh, nw, nl)
+    return out

@@ -93,7 +93,10 @@ def _psv_kernel(shift_ref, rpad_ref, out_ref, *, S, W):
     out_ref[0] = a * fs + b * (1.0 - fs)
 
 
-def _psv_pallas_fwd(left, right, shifts, max_shift: Optional[int] = None):
+def _psv_pallas_fwd(
+    left, right, shifts, max_shift: Optional[int] = None,
+    interpret: bool = False,
+):
     N, H, W, C = left.shape
     D = shifts.shape[0]
     S = int(max_shift) + 2 if max_shift is not None else W
@@ -113,6 +116,7 @@ def _psv_pallas_fwd(left, right, shifts, max_shift: Optional[int] = None):
         ],
         out_specs=pl.BlockSpec((1, W, 128), lambda n, d, j: (n * D + d, 0, j)),
         out_shape=jax.ShapeDtypeStruct((N * D, W, HC), jnp.float32),
+        interpret=interpret,
     )(shifts, rpad)
     right_part = (
         out_r.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4).astype(left.dtype)

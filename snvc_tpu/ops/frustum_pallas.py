@@ -238,6 +238,58 @@ def frustum_to_voxel_pallas_v2(
     return jnp.stack([one(volume[i], P_mat[i]) for i in range(N)])
 
 
+def frustum_to_voxel_pallas_diff(
+    volume,
+    P_mat,
+    depths: np.ndarray,
+    bev_zs: np.ndarray,
+    bev_xs: np.ndarray,
+    bev_ys: np.ndarray,
+    feature_stride: int = 4,
+    interpret: bool = False,
+):
+    """Differentiable wrapper: Pallas kernel forward, VJP via the
+    numerically-equivalent XLA gather (ops.frustum.frustum_to_voxel).
+
+    Pallas calls have no automatic JVP/VJP rule; without this wrapper a
+    training step through the frustum op dies with NotImplementedError in
+    _pallas_call_jvp_rule.  The backward is a deterministic scatter-add
+    (no atomics)."""
+    depths = np.asarray(depths)
+    zs, xs, ys = np.asarray(bev_zs), np.asarray(bev_xs), np.asarray(bev_ys)
+    nz, nx, ny = len(zs), len(xs), len(ys)
+
+    @jax.custom_vjp
+    def f(vol, P):
+        return frustum_to_voxel_pallas(
+            vol, P, depths, zs, xs, ys, feature_stride, interpret
+        )
+
+    def fwd(vol, P):
+        return f(vol, P), (vol, P)
+
+    def bwd(res, g):
+        from snvc_tpu.ops.frustum import frustum_to_voxel
+
+        vol, P = res
+        gz, gx, gy = np.meshgrid(zs, xs, ys, indexing="ij")
+        centers = jnp.asarray(
+            np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+        )
+
+        def xla(v, p):
+            out = frustum_to_voxel(
+                v, p, jnp.asarray(depths), centers, feature_stride
+            )
+            return out.reshape(v.shape[0], nz, nx, ny, -1)
+
+        _, vjp = jax.vjp(xla, vol, P)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(volume, P_mat)
+
+
 def frustum_pallas_available(Hf, Wf, C) -> bool:
     if not _HAS_PLTPU or jax.default_backend() == "cpu":
         return False

@@ -83,12 +83,12 @@ def _kernel(gl_ref, gr_ref, lf_ref, rf_ref, out_l_ref, out_r_ref, *, Hf, Wf,
     ).astype(out_r_ref.dtype)
 
 
-def sample_stereo_voxel_pallas(
+def _sample_stereo_voxel_impl(
     left_feat, right_feat, grid_proj_left, grid_proj_right, roi_hw,
-    grid_resolution,
+    grid_resolution, interpret: bool = False,
 ):
-    """Drop-in Pallas replacement for ops.grid_sample.sample_stereo_voxel
-    (concat aggregation).  Returns [N, nh, nw, nl, 2C]."""
+    """Kernel dispatch body; ``interpret=True`` runs the Pallas interpreter
+    for CPU-backed parity tests."""
     N, Hf, Wf, C = left_feat.shape
     nh, nw, nl = grid_resolution
     P = nh * nw * nl
@@ -120,9 +120,52 @@ def sample_stereo_voxel_pallas(
             jax.ShapeDtypeStruct((N, Pp, C), left_feat.dtype),
             jax.ShapeDtypeStruct((N, Pp, C), left_feat.dtype),
         ),
+        interpret=interpret,
     )(gl, gr, lf2, rf2)
     out = jnp.concatenate([out_l[:, :P], out_r[:, :P]], axis=-1)
     return out.reshape(N, nh, nw, nl, 2 * C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sample_stereo_voxel_pallas(
+    left_feat, right_feat, grid_proj_left, grid_proj_right, roi_hw,
+    grid_resolution,
+):
+    """Drop-in Pallas replacement for ops.grid_sample.sample_stereo_voxel
+    (concat aggregation).  Returns [N, nh, nw, nl, 2C].
+
+    Differentiable: Pallas kernels have no automatic VJP, so the backward
+    pass is the VJP of the numerically-equivalent XLA formulation
+    (deterministic segment-sum scatter, no atomics — SURVEY.md §5 race
+    notes).  Without this rule, any training step through the encoder on
+    TPU dies with "Linearization failed"."""
+    return _sample_stereo_voxel_impl(
+        left_feat, right_feat, grid_proj_left, grid_proj_right, roi_hw,
+        grid_resolution,
+    )
+
+
+def _sample_fwd(left_feat, right_feat, gl, gr, roi_hw, grid_resolution):
+    out = sample_stereo_voxel_pallas(
+        left_feat, right_feat, gl, gr, roi_hw, grid_resolution
+    )
+    return out, (left_feat, right_feat, gl, gr)
+
+
+def _sample_bwd(roi_hw, grid_resolution, res, g):
+    from snvc_tpu.ops.grid_sample import sample_stereo_voxel
+
+    left_feat, right_feat, gl, gr = res
+    _, vjp = jax.vjp(
+        lambda lf, rf, a, b: sample_stereo_voxel(
+            lf, rf, a, b, roi_hw, grid_resolution
+        ),
+        left_feat, right_feat, gl, gr,
+    )
+    return vjp(g)
+
+
+sample_stereo_voxel_pallas.defvjp(_sample_fwd, _sample_bwd)
 
 
 def pallas_sampling_available(feat_shape, roi_hw) -> bool:

@@ -36,6 +36,45 @@ def make_mesh(
     return Mesh(dev, axis_names=("data", "model"))
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    n_model: int = 1,
+) -> Mesh:
+    """Initialize multi-host (DCN) execution and build the global mesh.
+
+    Calls jax.distributed.initialize (a no-op degenerate case when the
+    arguments resolve to a single process — e.g. on TPU pods the
+    coordinator/process topology is auto-detected from the environment,
+    and a 1-process job needs no coordinator), then lays out the mesh so
+    the "data" axis's inter-host boundaries ride DCN while the "model"
+    axis stays inside a host's ICI domain: jax.devices() enumerates local
+    devices of each process contiguously, and make_mesh's row-major
+    reshape therefore keeps each host's devices on adjacent "data" rows
+    with "model" varying fastest (never crossing hosts for n_model <=
+    local device count).
+
+    Replaces the reference's single-process DataParallel ceiling
+    (tools/inference_agnostic.py:472) — the train steps themselves are
+    topology-agnostic pjit programs and need no change.
+    """
+    if num_processes is None or num_processes > 1 or coordinator_address:
+        # auto-detected (TPU pod) or explicit multi-process topology
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    # else: single explicit process — jax works without a coordinator
+    local = jax.local_device_count()
+    assert n_model <= local, (
+        f"model axis {n_model} would cross host boundaries "
+        f"(local devices: {local}); keep tensor parallelism on ICI"
+    )
+    return make_mesh(n_data=-1, n_model=n_model)
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -112,7 +112,9 @@ def train_step(
 
     def loss_fn(params):
         variables = {"params": params}
-        mutable = []
+        # mutable must be False (not []) when there are no batch stats:
+        # flax returns an (out, vars) tuple for ANY list, empty included
+        mutable = False
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
             mutable = ["batch_stats"]

@@ -32,22 +32,25 @@ def conv3d_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(np.asarray(w), (2, 3, 4, 1, 0))
 
 
-def conv_transpose2d_kernel(w: np.ndarray) -> np.ndarray:
+def conv_transpose2d_kernel(w: np.ndarray, flip: bool = True) -> np.ndarray:
     """torch ConvTranspose2d [I, O, kH, kW] -> flax ConvTranspose
     [kH, kW, I, O].
 
-    NOTE: flax's ConvTranspose applies the kernel unflipped
-    (transpose_kernel=False); torch's is the gradient of Conv2d, so exact
-    numeric parity additionally needs spatial flipping + transpose_kernel —
-    use ``flip=True`` when porting torch deconvolutions."""
-    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+    flax's ConvTranspose applies the kernel unflipped
+    (transpose_kernel=False) while torch's deconv is the gradient of Conv2d
+    (spatially flipped), so exact numeric parity requires the spatial flip
+    (default) plus torch's padding alignment on the flax side — our deconv
+    layers (models/layers.py DeconvNorm/ConvTranspose3dFast) use explicit
+    ((1,2),)*ndim padding to match torch (k=3, s=2, p=1, op=1)."""
+    w = np.asarray(w)
+    if flip:
+        w = w[:, :, ::-1, ::-1].copy()
+    return np.transpose(w, (2, 3, 0, 1))
 
 
-def conv_transpose2d_kernel_flipped(w: np.ndarray) -> np.ndarray:
-    return conv_transpose2d_kernel(np.asarray(w)[:, :, ::-1, ::-1].copy())
-
-
-def conv_transpose3d_kernel(w: np.ndarray, flip: bool = False) -> np.ndarray:
+def conv_transpose3d_kernel(w: np.ndarray, flip: bool = True) -> np.ndarray:
+    """torch ConvTranspose3d [I, O, kD, kH, kW] -> flax [kD, kH, kW, I, O],
+    spatially flipped for numeric parity (see conv_transpose2d_kernel)."""
     w = np.asarray(w)
     if flip:
         w = w[:, :, ::-1, ::-1, ::-1].copy()
@@ -103,13 +106,23 @@ def _module_sort_key(name: str):
     return (name, -1)
 
 
-def _convert_tensor(torch_name: str, w: np.ndarray, target_shape) -> Optional[np.ndarray]:
+def _convert_tensor(
+    torch_name: str, w: np.ndarray, target_shape, transpose_conv: bool = False
+) -> Optional[np.ndarray]:
+    """Convert one torch tensor to the flax layout for ``target_shape``.
+
+    ``transpose_conv`` selects the deconvolution converters (spatial flip +
+    I/O-preserving transpose).  It must be decided by the *target* — torch
+    Conv[I==O] and ConvTranspose weights are shape-ambiguous, and loading a
+    deconv weight through the conv converter (or unflipped) is numerically
+    wrong even when the shapes line up.
+    """
     w = np.asarray(w)
     cands = [w]
     if w.ndim == 4:
-        cands = [conv2d_kernel(w), conv_transpose2d_kernel(w)]
+        cands = [conv_transpose2d_kernel(w)] if transpose_conv else [conv2d_kernel(w)]
     elif w.ndim == 5:
-        cands = [conv3d_kernel(w), conv_transpose3d_kernel(w)]
+        cands = [conv_transpose3d_kernel(w)] if transpose_conv else [conv3d_kernel(w)]
     elif w.ndim == 2:
         cands = [dense_kernel(w), w]
     for c in cands:
@@ -138,11 +151,11 @@ def convert_module(
     items = list(state_dict.items())
     used = [False] * len(items)
 
-    def take(pred, target_shape):
+    def take(pred, target_shape, transpose_conv=False):
         for i, (name, w) in enumerate(items):
             if used[i] or not pred(name):
                 continue
-            conv = _convert_tensor(name, w, target_shape)
+            conv = _convert_tensor(name, w, target_shape, transpose_conv)
             if conv is not None:
                 used[i] = True
                 return name, conv
@@ -153,7 +166,13 @@ def convert_module(
         shape = tuple(np.shape(leaf))
         key = path[-1]
         if key == "kernel":
-            name, w = take(lambda n: n.endswith(".weight") or n == "weight", shape)
+            # the flax side knows whether this kernel is a deconv (module
+            # path contains ConvTranspose); the torch shape alone cannot
+            name, w = take(
+                lambda n: n.endswith(".weight") or n == "weight",
+                shape,
+                transpose_conv=any("ConvTranspose" in p for p in path),
+            )
         elif key == "scale":
             name, w = take(
                 lambda n: n.endswith(".weight") and np.asarray(
@@ -190,6 +209,159 @@ def _set(tree, path, value):
     for k in path[:-1]:
         node = node.setdefault(k, {})
     node[path[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# Release-checkpoint (epoch_80) name map
+# ---------------------------------------------------------------------------
+
+# The reference registers the released VernierScale's modules in this order
+# (snvc/models/vernier.py:26-56: _init_3d_net -> _init_coord_head ->
+# _init_bbox_head -> _init_feat_extract; BEV_type3 attrs at :249-313), so
+# the torch state_dict groups by these prefixes.  Flax sorts "encoder"
+# before "head" and auto-numbers by creation order, so a GLOBAL greedy
+# alignment would cross-wire same-shaped tensors between the 2D backbone
+# and the 3D head — conversion must be routed per group.
+_VERNIER_TORCH_GROUPS = (
+    "vimg_feat",
+    "conv1",
+    "conv2",
+    "conv3",
+    "conv4",
+    "hg_conv3d",
+    "fg_cls_head",
+    "part_reg_head",
+    "conv5",
+    "hm1",
+    "hm2",
+    "coord_head",
+    "bbox_head",
+    "feat_net",
+)
+
+
+def _sorted_children(tree: Dict, prefix: str) -> List[str]:
+    return [
+        k
+        for k in sorted(tree.keys(), key=_module_sort_key)
+        if k.startswith(prefix)
+    ]
+
+
+def vernier_group_map(flax_params: Dict, use_part_reg_head: bool,
+                      use_bbox_head: bool):
+    """torch prefix -> list of flax ("encoder"/"head", child) paths for the
+    BEV_type3 VernierScale (head graph: models/vernier.py
+    _head_bev_type23, mirroring reference vernier.py:249-313).
+
+    Resolved against the actual parameter tree (not guessed names) so it
+    tracks remat/class-name variations of the hourglasses.
+    """
+    head = flax_params["head"]
+    cn3 = _sorted_children(head, "ConvNorm3d_")
+    c3 = _sorted_children(head, "Conv3d_")
+    hgs = _sorted_children(head, "Hourglass")  # Hourglass_*/HourglassDeep_*
+    n_expected = 6 + (1 if use_part_reg_head else 0)
+    assert len(cn3) == n_expected, (cn3, n_expected)
+    assert len(hgs) == 2, hgs
+
+    m = {
+        "feat_net": [("encoder", _sorted_children(flax_params["encoder"], "HRNet")[0])],
+        "vimg_feat": [("head", cn3[0])],
+        "conv1": [("head", cn3[1])],
+        "conv2": [("head", cn3[2])],
+        "conv3": [("head", cn3[3])],
+        "hg_conv3d": [("head", hgs[0])],
+        "fg_cls_head": [("head", cn3[4]), ("head", c3[0])],
+        "conv4": [("head", cn3[-1])],
+        "conv5": [("head", _sorted_children(head, "ConvNorm_")[0])],
+        "hm1": [("head", hgs[1])],
+        "hm2": [("head", _sorted_children(head, "Conv_")[0])],
+    }
+    if use_part_reg_head:
+        m["part_reg_head"] = [("head", cn3[5]), ("head", c3[1])]
+    ch = _sorted_children(head, "CoordHead")
+    if ch:
+        m["coord_head"] = [("head", ch[0])]
+    if use_bbox_head:
+        m["bbox_head"] = [("head", _sorted_children(head, "FCModel")[0])]
+    return m
+
+
+def _subtree(tree: Dict, path) -> Dict:
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def convert_vernier_checkpoint(
+    state_dict: Dict[str, np.ndarray],
+    flax_params: Dict,
+    flax_batch_stats: Optional[Dict] = None,
+    use_part_reg_head: bool = False,
+    use_bbox_head: bool = False,
+):
+    """Convert a reference VernierScale checkpoint (epoch_80-style) into
+    flax (params, batch_stats), routing each torch module group onto its
+    flax counterpart and aligning greedily inside the group.
+
+    Raises if any torch tensor is left unconsumed or any flax parameter is
+    left unfilled — the structural "zero unmatched tensors" guarantee.
+    """
+    gm = vernier_group_map(flax_params, use_part_reg_head, use_bbox_head)
+    new_params: Dict = {}
+    new_stats: Dict = {}
+    consumed = 0
+    for prefix in _VERNIER_TORCH_GROUPS:
+        if prefix not in gm:
+            continue
+        sub_sd = {
+            k[len(prefix) + 1 :]: v
+            for k, v in state_dict.items()
+            if k.startswith(prefix + ".")
+            and not k.endswith("num_batches_tracked")
+        }
+        if not sub_sd:
+            raise ValueError(f"checkpoint has no tensors under '{prefix}.'")
+        # assemble the flax target forest for this group, in order
+        tgt_params = {}
+        tgt_stats = {}
+        for root, child in gm[prefix]:
+            tgt_params.setdefault(root, {})[child] = _subtree(
+                flax_params, (root, child)
+            )
+            if flax_batch_stats and root in flax_batch_stats and child in (
+                flax_batch_stats.get(root) or {}
+            ):
+                tgt_stats.setdefault(root, {})[child] = flax_batch_stats[root][child]
+        got_p, got_s = convert_module(sub_sd, tgt_params, tgt_stats or None)
+        n_leaves = len(_flatten(got_p)) + len(_flatten(got_s))
+        if n_leaves != len(sub_sd):
+            raise ValueError(
+                f"group '{prefix}': {len(sub_sd)} torch tensors but "
+                f"{n_leaves} flax leaves — unconsumed tensors in the group"
+            )
+        _merge(new_params, got_p)
+        _merge(new_stats, got_s)
+        consumed += len(sub_sd)
+    known = set()
+    for prefix in gm:
+        known.update(
+            k for k in state_dict if k.startswith(prefix + ".")
+        )
+    extra = [k for k in state_dict if k not in known]
+    if extra:
+        raise ValueError(f"unrouted torch tensors: {extra[:8]} (+{len(extra)-8 if len(extra)>8 else 0})")
+    return new_params, new_stats
+
+
+def _merge(dst: Dict, src: Dict):
+    for k, v in src.items():
+        if isinstance(v, dict):
+            _merge(dst.setdefault(k, {}), v)
+        else:
+            dst[k] = v
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -78,3 +78,23 @@ class TestPlaneSweep:
         rm = right.at[k].add(-eps)
         num = (loss(left, rp) - loss(left, rm)) / (2 * eps)
         assert float(g1[1][k]) == pytest.approx(float(num), rel=1e-2)
+
+
+class TestPallasKernelInterpret:
+    def test_psv_kernel_matches_xla(self, rng):
+        """The plane-sweep Pallas kernel (interpret mode on CPU) equals the
+        XLA gather formulation — without this, _psv_kernel is only ever
+        executed on real TPU hardware and a Mosaic regression ships unseen."""
+        from snvc_tpu.ops.cost_volume import _psv_pallas_fwd
+
+        N, H, W, C = 2, 8, 24, 16  # H*C = 128 (lane-aligned)
+        D = 5
+        left = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        right = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        # fractional + integer + zero shifts, incl. one pushing taps
+        # out of range on the left edge
+        shifts = jnp.asarray(np.array([0.0, 1.0, 2.5, 7.25, 21.9], np.float32))
+        got = np.asarray(_psv_pallas_fwd(left, right, shifts, interpret=True))
+        want = np.asarray(plane_sweep_volume(left, right, shifts, 1))
+        assert got.shape == want.shape == (N, D, H, W, 2 * C)
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -159,3 +159,10 @@ class TestKittiEval:
         # for the image metric the stray det overlaps the DontCare area
         # (same 2D box) and is absorbed -> AP 100
         assert r["car"]["detection"]["ap40"][0] == pytest.approx(100.0, abs=0.5)
+        # absorption must use the 2D IMAGE overlap for every metric: the
+        # stray det's 3D position (99, 99) is nowhere near the DontCare
+        # placeholder 3D fields, yet it sits in the DontCare image region,
+        # so BEV/3D AP are also perfect (official protocol; reference
+        # evaluate_object_3d_offline.cpp:582)
+        assert r["car"]["detection_ground"]["ap40"][0] == pytest.approx(100.0, abs=0.5)
+        assert r["car"]["detection_3d"]["ap40"][0] == pytest.approx(100.0, abs=0.5)

@@ -116,10 +116,40 @@ class TestVernier:
         assert out["coordinates"] is None
 
     def test_3d_variant(self, rng):
-        cfg = tiny_vernier_config(vernier_type="3D")
+        cfg = tiny_vernier_config(vernier_type="3D", num_parts=1)
         out = self._run(cfg, rng)
         nh, nw, nl = cfg.grid_resolution
         assert out["ncf"].shape == (2, 1, nh, nw, nl)
+
+    def test_concat_atten_encoder(self, rng):
+        """feature_aggregation='concat-atten' gates the voxel by the clamped
+        cosine similarity of the two view halves (vernier.py:341-344):
+        identical views pass through (cos=1); the gated voxel never has a
+        larger magnitude than plain concat."""
+        from snvc_tpu.models.vernier import VernierEncoder
+
+        cfg = tiny_vernier_config()
+        cfg_att = cfg.replace(feature_aggregation="concat-atten")
+        N = 1
+        H, W = cfg.resolution
+        nh, nw, nl = cfg.grid_resolution
+        P = nh * nw * nl
+        left = jnp.array(rng.standard_normal((N, H, W, 3)).astype(np.float32))
+        right = jnp.array(rng.standard_normal((N, H, W, 3)).astype(np.float32))
+        pl = jnp.array(rng.uniform(0, W, size=(N, P, 2)).astype(np.float32))
+        enc = VernierEncoder(cfg)
+        enc_att = VernierEncoder(cfg_att)
+        v = enc.init(jax.random.PRNGKey(0), left, right, pl, pl)
+        plain = np.asarray(enc.apply(v, left, right, pl, pl))
+        gated = np.asarray(enc_att.apply(v, left, right, pl, pl))
+        assert gated.shape == plain.shape
+        assert np.all(np.abs(gated) <= np.abs(plain) + 1e-5)
+        # same image + same projections -> identical halves -> cos = 1
+        same = np.asarray(enc_att.apply(v, left, left, pl, pl))
+        ref = np.asarray(enc.apply(v, left, left, pl, pl))
+        np.testing.assert_allclose(same, ref, atol=1e-5)
+        # distinct views must actually attenuate somewhere
+        assert np.abs(gated).sum() < np.abs(plain).sum()
 
     def test_bev_variant(self, rng):
         cfg = tiny_vernier_config(vernier_type="BEV")
@@ -168,7 +198,8 @@ class TestConv3dDecomposition:
 
     def test_convtranspose3d_fast_matches_native(self, rng):
         """The 8-parity subpixel decomposition equals flax's native
-        ConvTranspose(k3, s2, SAME) bit-for-bit in f32."""
+        ConvTranspose(k3, s2, pad (1,2)) — the torch (p=1, op=1)
+        alignment — bit-for-bit in f32."""
         from flax import linen as nn
         from snvc_tpu.models.layers import ConvTranspose3dFast
 
@@ -177,10 +208,31 @@ class TestConv3dDecomposition:
         v = mod.init(jax.random.PRNGKey(0), x)
         got = mod.apply(v, x)
         ref = nn.ConvTranspose(4, (3, 3, 3), strides=(2, 2, 2),
-                               padding="SAME", use_bias=False)
+                               padding=((1, 2),) * 3, use_bias=False)
         want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
         assert got.shape == want.shape == (2, 8, 12, 10, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_convtranspose3d_fast_matches_torch(self, rng):
+        """End-to-end torch parity: a torch ConvTranspose3d(k3,s2,p1,op1)
+        weight converted via conv_transpose3d_kernel (spatial flip) loaded
+        into ConvTranspose3dFast reproduces the torch output exactly."""
+        import torch
+        from snvc_tpu.models.layers import ConvTranspose3dFast
+        from snvc_tpu.utils.convert_torch import conv_transpose3d_kernel
+
+        tm = torch.nn.ConvTranspose3d(6, 4, 3, stride=2, padding=1,
+                                      output_padding=1, bias=False)
+        x = rng.standard_normal((2, 6, 4, 6, 5)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()  # NCDHW
+        k = conv_transpose3d_kernel(tm.weight.detach().numpy())
+        mod = ConvTranspose3dFast(4)
+        got = mod.apply({"params": {"kernel": jnp.asarray(k)}},
+                        jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))))
+        got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+        assert got.shape == want.shape == (2, 4, 8, 12, 10)
+        np.testing.assert_allclose(got, want, atol=1e-4)
 
     @pytest.mark.parametrize("shape,groups", [((2, 6, 8, 16), 8),
                                               ((2, 4, 6, 8, 32), 32),
@@ -198,7 +250,7 @@ class TestConv3dDecomposition:
             "bias": jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32),
         }}
         got = mod.apply(v, x)
-        ref = nn.GroupNorm(num_groups=groups)
+        ref = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
         want = ref.apply(v, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)

@@ -142,3 +142,57 @@ class TestSeparableWarp:
         out = np.asarray(affine_resample(jnp.array(img), jnp.array(t[None]), (8, 8)))
         assert out[0, 0, 0, 0] == 0.0  # above/left of the image
         assert out[0, -1, -1, 0] == 1.0  # inside
+
+
+class TestPallasSamplerInterpret:
+    def test_stereo_sampler_kernel_matches_xla(self, rng):
+        """The MXU stereo-sampling Pallas kernel (interpret mode on CPU)
+        equals sample_stereo_voxel on random features and projections,
+        including out-of-view points (zeros padding)."""
+        from snvc_tpu.ops.grid_sample_pallas import _sample_stereo_voxel_impl
+
+        N, Hf, Wf, C = 2, 16, 16, 8
+        roi_hw = (64, 64)
+        grid_res = (4, 8, 8)
+        P = 4 * 8 * 8
+        lf = jnp.asarray(rng.standard_normal((N, Hf, Wf, C)), jnp.float32)
+        rf = jnp.asarray(rng.standard_normal((N, Hf, Wf, C)), jnp.float32)
+        # ROI-pixel coords spanning in-range and out-of-view
+        gl = jnp.asarray(rng.uniform(-10, 74, (N, P, 2)), jnp.float32)
+        gr = jnp.asarray(rng.uniform(-10, 74, (N, P, 2)), jnp.float32)
+        got = np.asarray(
+            _sample_stereo_voxel_impl(lf, rf, gl, gr, roi_hw, grid_res,
+                                      interpret=True)
+        )
+        want = np.asarray(
+            sample_stereo_voxel(lf, rf, gl, gr, roi_hw, grid_res)
+        )
+        assert got.shape == want.shape == (N, 4, 8, 8, 2 * C)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_pallas_sampler_custom_vjp_matches_xla(self, rng):
+        """The custom_vjp backward (_sample_bwd, the XLA twin's VJP)
+        produces the same cotangents as differentiating the XLA sampler
+        directly — pinning the rule that makes TPU training possible."""
+        import jax
+
+        from snvc_tpu.ops.grid_sample_pallas import _sample_bwd
+
+        N, Hf, Wf, C = 1, 8, 8, 4
+        roi_hw = (32, 32)
+        grid_res = (2, 4, 4)
+        P = 2 * 4 * 4
+        lf = jnp.asarray(rng.standard_normal((N, Hf, Wf, C)), jnp.float32)
+        rf = jnp.asarray(rng.standard_normal((N, Hf, Wf, C)), jnp.float32)
+        gl = jnp.asarray(rng.uniform(0, 32, (N, P, 2)), jnp.float32)
+        gr = jnp.asarray(rng.uniform(0, 32, (N, P, 2)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((N, 2, 4, 4, 2 * C)), jnp.float32)
+
+        got = _sample_bwd(roi_hw, grid_res, (lf, rf, gl, gr), g)
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: sample_stereo_voxel(a, b, c, d, roi_hw, grid_res),
+            lf, rf, gl, gr,
+        )
+        want = vjp(g)
+        for x, y in zip(got, want):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)

@@ -153,6 +153,39 @@ class TestEndToEnd:
         assert logs[0]["total"] > 0
 
 
+class TestFovCheckedPerturbation:
+    def test_check_fov_changes_sampling(self):
+        """With check_fov=True every perturbed proposal stays visible to
+        both cameras even under extreme location noise; with it off the
+        same noise throws boxes out of view (reference _purturb_3D_box
+        trial loop, KITTIRefinement_dataset.py:300-321)."""
+        from snvc_tpu.data.instance_db import in_fov, perturb_box
+        from snvc_tpu.geometry.calib import Calibration
+
+        cl, cr = Calibration.default(), Calibration.default_right()
+        cfg = tiny_vernier_config(
+            check_fov=True, std_loc=(8.0, 0.1, 8.0), image_size=(375, 1242)
+        )
+        base = np.array([1.5, 1.6, 3.8, 0.0, 1.65, 12.0, 0.1], np.float32)
+        assert in_fov(base, cl, cr, cfg.image_size)
+        rng = np.random.default_rng(0)
+        checked = [
+            perturb_box(base, cfg, rng, calib_left=cl, calib_right=cr)
+            for _ in range(20)
+        ]
+        assert all(in_fov(s, cl, cr, cfg.image_size) for s in checked)
+        # perturbation still happened (not everything fell back to base)
+        assert any(np.abs(s - base).max() > 1e-4 for s in checked)
+
+        cfg_off = cfg.replace(check_fov=False)
+        rng = np.random.default_rng(0)
+        unchecked = [
+            perturb_box(base, cfg_off, rng, calib_left=cl, calib_right=cr)
+            for _ in range(20)
+        ]
+        assert not all(in_fov(s, cl, cr, cfg.image_size) for s in unchecked)
+
+
 class TestNearestGT:
     def test_attach_nearest_gt(self, kitti_root, tiny_cfg):
         from snvc_tpu.data.instance_db import attach_nearest_gt

@@ -185,8 +185,9 @@ class TestTargetsAndLoss:
         labels, reg, ctr = assign_targets(
             locations, jnp.asarray(cfg.anchors_y), gt, jnp.ones(1, bool),
             jnp.zeros(1, jnp.int32), cfg.num_classes,
+            jnp.asarray(cfg.anchor_angles[: cfg.num_angles]),
         )
-        pos = np.asarray(labels).sum(axis=1) > 0
+        pos = np.asarray(labels).sum(axis=(1, 2)) > 0
         locs = np.asarray(locations)
         # positives are exactly the cells inside the footprint
         inside = (np.abs(locs[:, 0] - 0.0) < 1.9) & (np.abs(locs[:, 1] - 10.0) < 0.8)
@@ -201,6 +202,48 @@ class TestTargetsAndLoss:
         corners = np.asarray(reg)[i, 0].reshape(8, 3) + anchor
         want = np.asarray(gt_corners_24(gt))[0]
         np.testing.assert_allclose(corners, want, atol=1e-5)
+
+    def test_angle_bins_distinguish_orthogonal_yaws(self, cfg):
+        """Two GTs at orthogonal yaws light up different angle bins
+        (reference loss3d.py:188-199 per-(location, angle) labels); a
+        yaw of pi (same orientation mod pi as 0) shares bin 0."""
+        locations = jnp.asarray(bev_locations(cfg))
+        angles = jnp.asarray(cfg.anchor_angles[: cfg.num_angles])
+        gt = jnp.array(
+            [
+                [1.5, 1.6, 3.8, -4.0, 1.65, 10.0, 0.05],  # ~axis-aligned
+                [1.5, 1.6, 3.8, 4.0, 1.65, 10.0, np.pi / 2 - 0.05],  # ~90deg
+                [1.5, 1.6, 3.8, 0.0, 1.65, 15.0, np.pi],  # 180deg == bin 0
+            ]
+        )
+        labels, _, _ = assign_targets(
+            locations, jnp.asarray(cfg.anchors_y), gt, jnp.ones(3, bool),
+            jnp.zeros(3, jnp.int32), cfg.num_classes, angles,
+        )
+        lab = np.asarray(labels)  # [L, A, K]
+        locs = np.asarray(locations)
+        near0 = np.abs(locs[:, 0] + 4.0) + np.abs(locs[:, 1] - 10.0) < 1.0
+        near1 = np.abs(locs[:, 0] - 4.0) + np.abs(locs[:, 1] - 10.0) < 1.0
+        near2 = np.abs(locs[:, 0]) + np.abs(locs[:, 1] - 15.0) < 1.0
+        assert lab[near0][:, 0].sum() > 0 and lab[near0][:, 1].sum() == 0
+        assert lab[near1][:, 1].sum() > 0 and lab[near1][:, 0].sum() == 0
+        assert lab[near2][:, 0].sum() > 0 and lab[near2][:, 1].sum() == 0
+
+    def test_per_class_anchor_heights(self, cfg):
+        """With per-class anchors_y, the y components of the corner targets
+        differ between classes by exactly the anchor height delta."""
+        locations = jnp.asarray(bev_locations(cfg))
+        gt = jnp.array([[1.5, 1.6, 3.8, 0.0, 1.65, 10.0, 0.0]])
+        ay = jnp.array([1.65, 0.95])
+        _, reg, _ = assign_targets(
+            locations, ay, gt, jnp.ones(1, bool), jnp.zeros(1, jnp.int32), 2,
+        )
+        r = np.asarray(reg).reshape(-1, 2, 8, 3)
+        np.testing.assert_allclose(
+            r[:, 1, :, 1] - r[:, 0, :, 1], 1.65 - 0.95, atol=1e-5
+        )
+        # x/z targets are class-independent
+        np.testing.assert_allclose(r[:, 1, :, 0], r[:, 0, :, 0], atol=1e-6)
 
     def test_rpn_loss_finite_and_supervised(self, cfg, stereo_out):
         _, out = stereo_out

@@ -28,6 +28,22 @@ def setup():
     return cfg, tc, model, state, batch
 
 
+class TestMultihostInit:
+    def test_single_process_degenerate(self):
+        """initialize_multihost with an explicit 1-process topology builds
+        the full local mesh without needing a coordinator."""
+        from snvc_tpu.parallel.api import initialize_multihost
+
+        mesh = initialize_multihost(num_processes=1, process_id=0, n_model=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_model_axis_must_stay_local(self):
+        from snvc_tpu.parallel.api import initialize_multihost
+
+        with pytest.raises(AssertionError, match="host boundaries"):
+            initialize_multihost(num_processes=1, process_id=0, n_model=16)
+
+
 class TestTrainStep:
     def test_loss_decreases(self, setup):
         cfg, tc, model, state, batch = setup
@@ -58,6 +74,48 @@ class TestTrainStep:
         np.testing.assert_allclose(
             float(metrics["total"]), float(metrics1["total"]), rtol=2e-2
         )
+
+    def test_part_reg_head_trains_offset_loss(self):
+        """With use_part_reg_head, make_targets emits the per-voxel offset
+        field and offset_loss fires and decreases under training."""
+        cfg = tiny_vernier_config(
+            max_instances=2, image_size=(128, 256), use_part_reg_head=True
+        )
+        tc = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=50, grad_clip=5.0)
+        model = VernierScale(cfg)
+        state = create_train_state(model, cfg, tc, jax.random.PRNGKey(0))
+        batch = synthetic_batch_arrays(cfg, seed=0)
+        step = make_train_step(model, cfg, tc)
+        rng = jax.random.PRNGKey(1)
+        offs = []
+        for _ in range(5):
+            state, metrics = step(state, batch, rng)
+            offs.append(float(metrics["offset"]))
+        assert np.all(np.isfinite(offs)) and offs[0] > 0
+        assert offs[-1] < offs[0], offs
+
+    def test_3d_variant_trains(self):
+        """vernier_type='3D' + grid_type='3D': heatmaps_3d targets match the
+        per-part 3D NCF output and the loss decreases."""
+        cfg = tiny_vernier_config(
+            max_instances=2,
+            image_size=(128, 256),
+            vernier_type="3D",
+            grid_type="3D",
+            num_parts=3,
+        )
+        tc = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=50, grad_clip=5.0)
+        model = VernierScale(cfg)
+        state = create_train_state(model, cfg, tc, jax.random.PRNGKey(0))
+        batch = synthetic_batch_arrays(cfg, seed=0)
+        step = make_train_step(model, cfg, tc)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["total"]))
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
 
     def test_checkpoint_roundtrip(self, setup, tmp_path):
         cfg, tc, model, _, batch = setup

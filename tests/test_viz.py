@@ -69,3 +69,40 @@ class TestRendering:
         out = str(tmp_path / "grid.png")
         save_image_grid(imgs, out, cols=2)
         assert os.path.exists(out)
+
+
+class TestDebugRenders:
+    def test_render_debug_batch_writes_pngs(self, tmp_path):
+        """The --debug CLI path's renderer produces the NCF / occupancy /
+        update PNGs from a refinement output dict."""
+        from snvc_tpu.viz.debug import render_debug_batch
+
+        rng = np.random.default_rng(0)
+        B, P, nh, nw, nl = 2, 9, 4, 8, 8
+        batch = {
+            "samples": np.array(
+                [[1.5, 1.6, 3.8, 0.0, 1.65, 12.0, 0.1]] * B, np.float32
+            ),
+            "gt_boxes": np.array(
+                [[1.5, 1.6, 3.8, 0.2, 1.65, 12.3, 0.15]] * B, np.float32
+            ),
+            "valid": np.array([True, False]),
+        }
+        out = {
+            "ncf": rng.random((B, P, nl, nw)).astype(np.float32),
+            "occupancy": rng.random((B, nh, nw, nl)).astype(np.float32),
+            "one_part": batch["samples"] + 0.05,
+            "all_parts": batch["samples"] + 0.1,
+        }
+        paths = render_debug_batch(batch, out, str(tmp_path / "dbg"))
+        assert set(paths) == {"ncf", "occupancy", "update"}
+        for p in paths.values():
+            assert os.path.getsize(p) > 1000, p
+
+    def test_render_debug_3d_ncf(self, tmp_path):
+        from snvc_tpu.viz.debug import render_ncf
+
+        rng = np.random.default_rng(1)
+        path = str(tmp_path / "ncf3d.png")
+        render_ncf(rng.random((1, 3, 4, 8, 8)).astype(np.float32), path)
+        assert os.path.getsize(path) > 1000

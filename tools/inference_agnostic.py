@@ -34,6 +34,10 @@ def main():
                    help="also compute val losses against GT")
     p.add_argument("--evaluate", action="store_true",
                    help="run the KITTI AP evaluator on the output")
+    p.add_argument("--debug", action="store_true",
+                   help="cap to 1 batch and render NCF / occupancy / update "
+                        "PNGs under <output_dir>/debug (reference "
+                        "inference_agnostic.py:142-275)")
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args()
 
@@ -76,8 +80,28 @@ def main():
                           load_lidar=args.report_loss)
     runner = RefineRunner(model, params, cfg)
     writer = PredictionWriter(cfg)
-    runner.run(pipe, writer=writer, with_targets=args.report_loss,
-               max_batches=args.max_batches)
+    if args.debug:
+        from snvc_tpu.viz.debug import render_debug_batch
+
+        batch = next(iter(pipe.batches()))
+        out = runner.step(
+            batch,
+            with_targets=args.report_loss,
+            host_outputs=runner.HOST_OUTPUTS + ("ncf", "occupancy"),
+        )
+        writer.add_batch(batch, out)
+        paths = render_debug_batch(
+            batch, out, os.path.join(args.output_dir, "debug")
+        )
+        exp.logger.info(f"debug renders: {sorted(paths.values())}")
+        if "losses" in out:
+            exp.logger.info(
+                "losses: "
+                + ", ".join(f"{k}={float(v):.4f}" for k, v in out["losses"].items())
+            )
+    else:
+        runner.run(pipe, writer=writer, with_targets=args.report_loss,
+                   max_batches=args.max_batches)
     calib_dir = ds.calib_dir if args.split == "test" else None
     out = writer.write(args.output_dir, calib_dir=calib_dir)
     exp.logger.info(f"wrote predictions under {out}")

@@ -18,6 +18,8 @@ def main():
     p.add_argument("--model_dir", required=True)
     p.add_argument("--data_path", required=True)
     p.add_argument("--split", default="train")
+    p.add_argument("--config", default=None,
+                   help="JSON StereoConfig file; defaults to the flagship config")
     p.add_argument("--steps", type=int, default=50000)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -27,7 +29,7 @@ def main():
 
     import jax
 
-    from snvc_tpu.config import StereoConfig, TrainConfig
+    from snvc_tpu.config import StereoConfig, TrainConfig, load_config
     from snvc_tpu.data.kitti import KittiDataset
     from snvc_tpu.data.stereo_pipeline import StereoPipeline
     from snvc_tpu.models.stereonet import StereoNet
@@ -40,7 +42,10 @@ def main():
     from snvc_tpu.utils import Experimenter, enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = StereoConfig()
+    if args.config:
+        cfg = load_config(args.config, StereoConfig)
+    else:
+        cfg = StereoConfig()
     tc = TrainConfig(lr=args.lr, total_steps=args.steps)
     exp = Experimenter(args.model_dir, config=cfg)
     log = exp.logger
