@@ -43,9 +43,9 @@ def build(config: str):
         cfg = VernierConfig(
             backbone=BackboneConfig(name="hrnet-w32"),
             grid_resolution=(32, 192, 192),
-            x_range=(-1.6, 1.6),
+            x_range=(-2.4, 2.4),
             y_range=(-1.0, 1.0),
-            z_range=(-1.6, 1.6),
+            z_range=(-2.4, 2.4),
             resolution=(256, 256),
             max_instances=4,
             compute_dtype="bfloat16",

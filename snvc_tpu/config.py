@@ -142,14 +142,22 @@ class VernierConfig(_Base):
     # stereo feature aggregation into the voxel: "concat" |
     # "concat-atten" (cosine-similarity gating, reference vernier.py:341-344)
     feature_aggregation: str = "concat"
+    # NCF heatmap loss: "mse" (VoxelMSELoss) or "mse_weighted"
+    # (VoxelMSELossWeighted, loss3d.py:801-828 — balances the sparse peaks
+    # against the empty background)
+    ncf_loss: str = "mse"
     # --- instance grid (the "Vernier scale") ---
     # grid_resolution = (nh, nw, nl): samples along y (height), x (width),
     # z (length) of the object frame; reference example 32x192x192
     # (vernier.py:120, KITTIRefinement_dataset.py:267-282).
     grid_resolution: Tuple[int, int, int] = (16, 96, 96)
-    x_range: Tuple[float, float] = (-1.5, 1.5)
+    # The BEV part heatmaps carry all 9 parts including the 8 CORNERS: the
+    # w/l ranges must contain +-l/2 (+ perturbation + gaussian radius) or
+    # the corner NCF targets clip off-grid and the all_parts registration
+    # degrades (car corners sit at ~+-2.0 m along length).
+    x_range: Tuple[float, float] = (-2.4, 2.4)
     y_range: Tuple[float, float] = (-1.0, 1.0)
-    z_range: Tuple[float, float] = (-1.5, 1.5)
+    z_range: Tuple[float, float] = (-2.4, 2.4)
     sigma: int = 2  # gaussian radius (in voxels) of part heatmap targets
     grid_type: str = "2D"  # target heatmaps: "2D" (BEV) or "3D"
     # --- ROI cropping ---
@@ -175,6 +183,10 @@ class VernierConfig(_Base):
     check_fov: bool = False
     # --- batching (TPU static shapes) ---
     max_instances: int = 8  # instances per device batch (padded)
+    # image slots per batch: >1 packs instances of several frames into one
+    # batch (sparse scenes no longer waste padded instance slots; also the
+    # only way to build multi-frame serving batches for val sweeps)
+    frames_per_batch: int = 1
     image_size: Tuple[int, int] = (384, 1280)  # full-frame pad size (H, W)
     # --- output ---
     save: bool = True

@@ -98,6 +98,34 @@ class KittiScene:
         out[:h, :w] = src[:h, :w]
         return out
 
+    def load_image_scaled(self, camera: str, out_hw):
+        """RGB uint8 [out_h, out_w, 3] with an aspect-preserving downscale
+        when the native image exceeds the target, then zero padding.
+
+        Returns (image, s) where s is the uniform scale factor; the
+        matching projection is diag(s, s, 1) @ P (pinhole model under
+        uniform image scaling), so reduced-resolution training keeps
+        geometry consistent instead of cropping most of the frame away.
+        """
+        import cv2
+
+        src = self.load_image(camera)
+        h, w = src.shape[:2]
+        s = min(out_hw[0] / h, out_hw[1] / w)
+        if s < 1.0:
+            src = cv2.resize(
+                src,
+                (int(round(w * s)), int(round(h * s))),
+                interpolation=cv2.INTER_AREA,
+            )
+        else:
+            s = 1.0
+        out = np.zeros((out_hw[0], out_hw[1], 3), np.uint8)
+        hh = min(src.shape[0], out_hw[0])
+        ww = min(src.shape[1], out_hw[1])
+        out[:hh, :ww] = src[:hh, :ww]
+        return out, s
+
 
 class KittiDataset:
     """Split-aware KITTI object dataset (reference kitti_dataset.py:10-47)."""

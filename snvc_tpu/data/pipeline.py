@@ -133,22 +133,28 @@ class RefinementPipeline:
         self.load_lidar = training if load_lidar is None else load_lidar
 
     def __len__(self) -> int:
-        per = self.cfg.max_instances
-        # instances grouped per frame; worst case one batch per frame chunk
-        return int(np.ceil(len(self.db) / per))
+        return sum(1 for _ in self._frame_groups())
 
     def _frame_groups(self) -> Iterator[List[InstanceRecord]]:
-        """Group consecutive records of the same frame, chunked to the
-        instance budget."""
+        """Pack consecutive records into batches bounded by the instance
+        budget AND the image-slot budget (cfg.frames_per_batch): with one
+        slot this is the classic one-frame-per-batch grouping; with more,
+        sparse scenes share a batch instead of wasting padded slots."""
+        max_frames = max(1, self.cfg.frames_per_batch)
         cur: List[InstanceRecord] = []
+        frames: List[int] = []
         for rec in self.db:
+            new_frame = not frames or rec.scene.index != frames[-1]
             if cur and (
-                rec.scene.index != cur[0].scene.index
-                or len(cur) >= self.cfg.max_instances
+                len(cur) >= self.cfg.max_instances
+                or (new_frame and len(frames) >= max_frames)
             ):
                 yield cur
-                cur = []
+                cur, frames = [], []
+                new_frame = True
             cur.append(rec)
+            if new_frame:
+                frames.append(rec.scene.index)
         if cur:
             yield cur
 
@@ -162,33 +168,49 @@ class RefinementPipeline:
 
     def make_batch(self, records: Sequence[InstanceRecord]) -> InstanceBatch:
         cfg = self.cfg
-        F = 1  # one frame per batch group
+        F = max(1, cfg.frames_per_batch)  # static image-slot count
         I = cfg.max_instances
         Np = self.max_points
         img_h, img_w = cfg.image_size
-        scene = records[0].scene
 
-        images_left = scene.load_image_padded("left", (img_h, img_w))[None]
-        images_right = scene.load_image_padded("right", (img_h, img_w))[None]
-        P_left = records[0].calib_left.as_array()[None]
-        P_right = records[0].calib_right.as_array()[None]
+        # distinct frames of this group, in order
+        frame_recs: List[InstanceRecord] = []
+        frame_of: Dict[int, int] = {}
+        for rec in records:
+            if rec.scene.index not in frame_of:
+                frame_of[rec.scene.index] = len(frame_recs)
+                frame_recs.append(rec)
+        assert len(frame_recs) <= F, "group exceeds frames_per_batch"
+
+        images_left = np.zeros((F, img_h, img_w, 3), np.uint8)
+        images_right = np.zeros((F, img_h, img_w, 3), np.uint8)
+        P_left = np.tile(np.eye(3, 4, dtype=np.float32), (F, 1, 1))
+        P_right = P_left.copy()
+        pc_rects = [None] * F
+        for fi, rec in enumerate(frame_recs):
+            scene = rec.scene
+            images_left[fi] = scene.load_image_padded("left", (img_h, img_w))
+            images_right[fi] = scene.load_image_padded("right", (img_h, img_w))
+            P_left[fi] = rec.calib_left.as_array()
+            P_right[fi] = rec.calib_right.as_array()
+            if self.load_lidar:
+                pc = scene.lidar()[:, :3]
+                pc_rects[fi] = rec.calib_left.velo_to_rect(pc).astype(np.float32)
 
         samples = np.zeros((I, 7), np.float32)
         gt_boxes = np.zeros((I, 7), np.float32)
         trans_l = np.tile(np.eye(2, 3, dtype=np.float32), (I, 1, 1))
         trans_r = trans_l.copy()
         valid = np.zeros(I, bool)
+        image_idx = np.zeros(I, np.int32)
         box2d = np.zeros((I, 4), np.float32)
         scores = np.full(I, np.nan, np.float32)
         points = np.zeros((I, Np, 3), np.float32)
         points_valid = np.zeros((I, Np), bool)
 
-        pc_rect = None
-        if self.load_lidar:
-            pc = scene.lidar()[:, :3]
-            pc_rect = records[0].calib_left.velo_to_rect(pc).astype(np.float32)
-
         for k, rec in enumerate(records):
+            image_idx[k] = frame_of[rec.scene.index]
+            pc_rect = pc_rects[image_idx[k]]
             if rec.pred is not None:
                 sample = rec.pred.copy()
             else:
@@ -220,7 +242,7 @@ class RefinementPipeline:
             images_right=images_right,
             P_left=P_left.astype(np.float32),
             P_right=P_right.astype(np.float32),
-            image_idx=np.zeros(I, np.int32),
+            image_idx=image_idx,
             trans_l=trans_l,
             trans_r=trans_r,
             samples=samples,
@@ -228,7 +250,8 @@ class RefinementPipeline:
             gt_boxes=gt_boxes,
             points=points,
             points_valid=points_valid,
-            scene_names=[scene.name] * len(records) + [None] * (I - len(records)),
+            scene_names=[r.scene.name for r in records]
+            + [None] * (I - len(records)),
             box2d=box2d,
             scores=scores,
         )

@@ -43,11 +43,14 @@ class StereoBatch:
         )
 
 
-def rasterize_depth(pc_rect: np.ndarray, calib, hw, stride: int = 4) -> np.ndarray:
-    """Sparse z-buffer of LiDAR depths at feature stride (host, vectorized)."""
+def rasterize_depth(pc_rect: np.ndarray, P: np.ndarray, hw, stride: int = 4) -> np.ndarray:
+    """Sparse z-buffer of LiDAR depths at feature stride (host, vectorized).
+
+    P is the (possibly resolution-scaled) 3x4 rect->image projection."""
     H, W = hw
     Hs, Ws = H // stride, W // stride
-    uv = calib.rect_to_image(pc_rect)
+    uvw = pc_rect @ P[:, :3].T + P[:, 3]
+    uv = uvw[:, :2] / uvw[:, 2:3]
     z = pc_rect[:, 2]
     u = np.floor(uv[:, 0] / stride).astype(np.int64)
     v = np.floor(uv[:, 1] / stride).astype(np.int64)
@@ -106,12 +109,16 @@ class StereoPipeline:
         for b, idx in enumerate(frame_indices):
             scene = self.ds.scene(idx)
             names.append(scene.name)
-            il[b] = scene.load_image_padded("left", (H, W))
-            ir[b] = scene.load_image_padded("right", (H, W))
+            # aspect-preserving downscale when the target resolution is
+            # below native, with the projection scaled to match (reduced-
+            # resolution training keeps full-frame geometry)
+            il[b], s = scene.load_image_scaled("left", (H, W))
+            ir[b], _ = scene.load_image_scaled("right", (H, W))
             cl = scene.calibration("left")
             cr = scene.calibration("right")
-            Pl[b] = cl.as_array()
-            Pr[b] = cr.as_array()
+            S = np.diag([s, s, 1.0]).astype(np.float32)
+            Pl[b] = S @ cl.as_array()
+            Pr[b] = S @ cr.as_array()
             if self.training and scene.label_dir:
                 _, b3, cls, _ = filter_annotations(
                     scene.labels(),
@@ -124,7 +131,7 @@ class StereoPipeline:
                 classes[b, :n] = 0  # single-class (Car) for now
                 pc = scene.lidar()[:, :3]
                 pc_rect = cl.velo_to_rect(pc).astype(np.float32)
-                depth[b] = rasterize_depth(pc_rect, cl, (H, W))
+                depth[b] = rasterize_depth(pc_rect, Pl[b], (H, W))
         return StereoBatch(
             images_left=il, images_right=ir, P_left=Pl, P_right=Pr,
             gt_boxes=boxes, gt_valid=valid, gt_classes=classes,

@@ -56,33 +56,54 @@ def random_car_box(rng: np.random.Generator) -> np.ndarray:
 
 
 def render_scene(boxes3d: np.ndarray, calib: Calibration, rng) -> np.ndarray:
-    """Shaded-quad rendering of boxes over a smooth background."""
+    """Shaded-cuboid rendering over a smooth background.
+
+    Faces are rasterized as true projected convex quads (crisp oriented
+    edges at the exact 3D pose — the signal a refinement model must read),
+    back-face culled via the outward normal, with distinct per-face
+    lambertian-ish shading and darker wireframe edges."""
+    import cv2
+
     yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
     img = (40 + 30 * np.sin(xx / 97.0) * np.cos(yy / 53.0)).astype(np.float32)
     img = np.stack([img, img * 1.05, img * 0.95], axis=-1)
     order = np.argsort(-boxes3d[:, 5])  # far to near
+    # corner layout (geometry.boxes _PART_* order, corners 1..8): indices
+    # alternate top/bottom — cyclic face quads must follow it or the
+    # polygons bow-tie (matches viz/tracebox._FACE_QUADS)
+    faces = [
+        (0, 1, 3, 2),  # +l (front)
+        (4, 5, 7, 6),  # -l (back)
+        (0, 1, 5, 4),  # +w side
+        (2, 3, 7, 6),  # -w side
+        (0, 2, 6, 4),  # top
+        (1, 3, 7, 5),  # bottom
+    ]
     for bi in order:
         box = boxes3d[bi]
         corners = gbox.box_corners_cam(box)  # [8, 3]
         uv = calib.rect_to_image(corners)
-        shade = 90 + 110 * ((bi * 2654435761) % 97) / 97.0
-        faces = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4), (2, 3, 7, 6), (0, 2, 6, 4)]
+        base = 90 + 110 * ((bi * 2654435761) % 97) / 97.0
+        center = corners.mean(axis=0)
         for fi, f in enumerate(faces):
-            poly = uv[list(f)]
-            _fill_poly(img, poly, shade * (0.7 + 0.1 * fi))
+            p3 = corners[list(f)]
+            n = np.cross(p3[1] - p3[0], p3[3] - p3[0])
+            fc = p3.mean(axis=0)
+            if np.dot(n, fc - center) < 0:
+                n = -n
+            # back-face cull: the face must look toward the camera
+            if np.dot(n, -fc) <= 0:
+                continue
+            nn = n / (np.linalg.norm(n) + 1e-9)
+            # directional light + per-face tint
+            lam = 0.55 + 0.45 * max(0.0, float(np.dot(nn, [0.3, -0.8, -0.52])))
+            shade = np.clip(base * lam * (0.85 + 0.06 * fi), 0, 255)
+            poly = np.round(uv[list(f)]).astype(np.int32)
+            cv2.fillConvexPoly(img, poly, (shade, shade * 1.04, shade * 0.96))
+            cv2.polylines(img, [poly], True,
+                          (shade * 0.4, shade * 0.4, shade * 0.4), 1)
     img += rng.normal(size=img.shape) * 4.0
     return np.clip(img, 0, 255).astype(np.uint8)
-
-
-def _fill_poly(img, poly, value):
-    x0 = max(int(np.floor(poly[:, 0].min())), 0)
-    x1 = min(int(np.ceil(poly[:, 0].max())), IMG_W - 1)
-    y0 = max(int(np.floor(poly[:, 1].min())), 0)
-    y1 = min(int(np.ceil(poly[:, 1].max())), IMG_H - 1)
-    if x1 <= x0 or y1 <= y0:
-        return
-    # convex-ish fill: use the bounding box interior weighted toward center
-    img[y0:y1, x0:x1] = 0.5 * img[y0:y1, x0:x1] + 0.5 * value
 
 
 def surface_points(box: np.ndarray, rng, n: int = 400) -> np.ndarray:

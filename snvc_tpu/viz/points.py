@@ -75,8 +75,10 @@ def plot_bev_boxes(ax, boxes3d, color="r", linestyle="-", labels=None):
 
     boxes3d = np.asarray(boxes3d).reshape(-1, 7)
     for i, b in enumerate(boxes3d):
-        corners = gbox.box_corners_cam(b)[:4, [0, 2]]  # bottom corners
-        order = [0, 1, 3, 2, 0]
+        # bottom corners are the ODD part indices (the corner order
+        # alternates top/bottom, geometry.boxes._PART_Y)
+        corners = gbox.box_corners_cam(b)[[1, 3, 7, 5]][:, [0, 2]]
+        order = [0, 1, 2, 3, 0]
         ax.plot(corners[order, 0], corners[order, 1], c=color, linestyle=linestyle)
         if labels is not None:
             ax.text(b[3], b[5], str(labels[i]), fontsize=8, color=color)

@@ -153,6 +153,57 @@ class TestEndToEnd:
         assert logs[0]["total"] > 0
 
 
+class TestMultiFramePacking:
+    def test_two_sparse_frames_share_a_batch(self, kitti_root):
+        """With frames_per_batch=2, two 2-instance frames pack into one
+        4-instance batch, and the refined outputs equal the two
+        single-frame batches instance-for-instance (image_idx routing
+        through the device assembly is exact)."""
+        import jax.numpy as jnp
+
+        from snvc_tpu.inference.refine import RefineRunner
+
+        root, pred_dir, _ = kitti_root
+        cfg1 = tiny_vernier_config(
+            max_instances=2, image_size=(384, 1248), frames_per_batch=1
+        )
+        cfg2 = cfg1.replace(max_instances=4, frames_per_batch=2)
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, cfg1, pred_dir)
+        assert len(db) == 4  # 2 frames x 2 proposals
+
+        p1 = RefinementPipeline(db, cfg1, training=False, load_lidar=False)
+        p2 = RefinementPipeline(db, cfg2, training=False, load_lidar=False)
+        b1 = list(p1.batches())
+        b2 = list(p2.batches())
+        assert len(b1) == 2 and len(b2) == 1
+        packed = b2[0]
+        assert packed.image_idx.tolist() == [0, 0, 1, 1]
+        assert packed.valid.all()
+        # calibs per frame slot, not replicated from frame 0
+        np.testing.assert_array_equal(packed.P_left[0], b1[0].P_left[0])
+        np.testing.assert_array_equal(packed.P_left[1], b1[1].P_left[0])
+
+        model = VernierScale(cfg2)
+        H, W = cfg2.resolution
+        nh, nw, nl = cfg2.grid_resolution
+        P = nh * nw * nl
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, P, 2)), jnp.zeros((1, P, 2)),
+        )
+        out_packed = RefineRunner(model, params, cfg2).step(packed)
+        # same params, same per-instance geometry -> same refined boxes
+        runner1 = RefineRunner(model, params, cfg1)
+        singles = np.concatenate(
+            [runner1.step(b)["all_parts"] for b in b1], axis=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_packed["all_parts"]), singles, atol=1e-4
+        )
+
+
 class TestFovCheckedPerturbation:
     def test_check_fov_changes_sampling(self):
         """With check_fov=True every perturbed proposal stays visible to

@@ -38,14 +38,16 @@ class TestStereoPipeline:
         assert b.gt_boxes.shape == (2, 8, 7)
         assert b.gt_valid.any()
         assert b.depth_gt.shape == (2, H // 4, W // 4)
-        # the tiny 64x128 window crops the sky region: depth may be empty
-        # there, but every cell must be -1 or a positive depth
+        # images are downscaled (not cropped) to the tiny window, so the
+        # LiDAR depth must actually land in it somewhere
         assert np.all((b.depth_gt == -1.0) | (b.depth_gt > 0))
+        if b.gt_valid.any():
+            assert (b.depth_gt > 0).any()
 
     def test_rasterize_depth(self):
         cal = Calibration.default()
         pts = np.array([[0.0, 1.0, 20.0], [0.0, 1.0, 10.0]], np.float32)
-        d = rasterize_depth(pts, cal, (384, 1248))
+        d = rasterize_depth(pts, cal.as_array(), (384, 1248))
         got = d[d > 0]
         # both points project to the same stride-4 cell: z-buffer keeps 10
         assert len(got) >= 1
@@ -98,3 +100,32 @@ class TestStereoTraining:
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(ref_state.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestScaledLoading:
+    def test_load_image_scaled_geometry(self, kitti_root):
+        """Downscaled image + scaled projection keep a GT box's projected
+        center at the same relative position (pinhole under uniform s)."""
+        from snvc_tpu.geometry.calib import Calibration
+
+        ds = KittiDataset(kitti_root, "val")
+        scene = ds.scene(ds.indices[0])
+        img, s = scene.load_image_scaled("left", (96, 312))
+        assert img.shape == (96, 312, 3)
+        assert 0 < s < 1
+        native = scene.load_image("left")
+        h, w = native.shape[:2]
+        assert abs(s - min(96 / h, 312 / w)) < 1e-6
+        cal = scene.calibration("left")
+        P = np.diag([s, s, 1.0]).astype(np.float32) @ cal.as_array()
+        pt = np.array([[0.0, 1.65, 15.0]], np.float32)
+        uv_native = cal.rect_to_image(pt)[0]
+        uvw = pt[0] @ P[:, :3].T + P[:, 3]
+        uv_scaled = uvw[:2] / uvw[2]
+        np.testing.assert_allclose(uv_scaled, uv_native * s, rtol=1e-5)
+
+    def test_no_upscale_beyond_native(self, kitti_root):
+        ds = KittiDataset(kitti_root, "val")
+        scene = ds.scene(ds.indices[0])
+        img, s = scene.load_image_scaled("left", (2000, 4000))
+        assert s == 1.0 and img.shape == (2000, 4000, 3)
