@@ -96,21 +96,28 @@ def bench_stereo(iters: int):
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), left, right, Pl, Pr)
     variables = jax.device_put(variables, jax.devices()[0])
     f = jax.jit(lambda v, l, r, a, b: model.apply(v, l, r, a, b))
-    out = f(variables, left, right, Pl, Pr)
-    jax.block_until_ready(out)
-    # distinct inputs per request (elision-safe), no cross-request
-    # dependence (pipelining preserved)
-    jitters = [
-        jax.device_put(np.float32(1e-4 * (i + 1)), jax.devices()[0])
-        for i in range(iters)
+    # distinct inputs per request (elision-safe), PRECOMPUTED outside the
+    # timed region: any eager op (even `left + c`) in the loop is its own
+    # serialized tunnel dispatch and dominates the measurement
+    base = np.asarray(left)
+    lefts = [
+        jax.device_put(
+            jnp.asarray(base + np.float32(1e-4 * (i + 1))), jax.devices()[0]
+        )
+        for i in range(iters + 2)
     ]
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        outs.append(f(variables, left + jitters[i], right, Pl, Pr))
-    jax.block_until_ready([o["depth"] for o in outs] + [o["cls"] for o in outs])
-    dt = time.perf_counter() - t0
-    return iters / dt
+    jax.block_until_ready(lefts)
+    # steady-state per-call latency, median over distinct inputs: the
+    # first call after process start pays one-time cache-load/warmup costs
+    # (measured ~8-100 s) that must not leak into the throughput number
+    ts = []
+    for i in range(iters + 2):
+        t0 = time.perf_counter()
+        out = f(variables, lefts[i], right, Pl, Pr)
+        jax.block_until_ready((out["depth"], out["cls"], out["reg"]))
+        ts.append(time.perf_counter() - t0)
+    ts = sorted(ts[2:])
+    return 1.0 / ts[len(ts) // 2]
 
 
 def main():
@@ -197,22 +204,27 @@ def main():
     # runtime elides repeated identical dispatches), but requests stay
     # independent so the pipeline overlaps dispatch latency; block on all
     # outputs at the end
-    base_samples = device_batch["samples"]
-    jitters = [
+    # distinct per-iteration inputs PRECOMPUTED on device (an eager add
+    # inside the loop would be its own serialized tunnel dispatch and
+    # dominate the measurement); steady-state per-call latency, median
+    # over distinct inputs (first calls pay one-time warmup costs)
+    base_samples = np.asarray(device_batch["samples"])
+    sample_variants = [
         _jax.device_put(
-            np.float32(1e-4 * (i + 1)) * np.ones((1,), np.float32),
-            _jax.devices()[0],
+            base_samples + np.float32(1e-4 * (i + 1)), _jax.devices()[0]
         )
-        for i in range(args.iters)
+        for i in range(args.iters + 2)
     ]
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        device_batch["samples"] = base_samples + jitters[i]
-        outs.append(runner.step(db, host_outputs=()))
-    _jax.block_until_ready([o["all_parts"] for o in outs])
-    dt = time.perf_counter() - t0
-    inst_per_sec = cfg.max_instances * args.iters / dt
+    _jax.block_until_ready(sample_variants)
+    ts = []
+    for i in range(args.iters + 2):
+        device_batch["samples"] = sample_variants[i]
+        t0 = time.perf_counter()
+        out = runner.step(db, host_outputs=())
+        _jax.block_until_ready(out["all_parts"])
+        ts.append(time.perf_counter() - t0)
+    ts = sorted(ts[2:])
+    inst_per_sec = cfg.max_instances / ts[len(ts) // 2]
 
     print(
         json.dumps(
