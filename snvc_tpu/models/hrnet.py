@@ -217,6 +217,23 @@ class HRNet(nn.Module):
         )(h)
 
         if head != "heatmap_regression":
+            if self.cfg.add_xy:
+                # coordinate-conv input augmentation: normalized x/y maps
+                # appended as extra channels (reference add_xy /
+                # modify_input_channel, hrnet.py:550-560, with maps per
+                # img_proc.generate_xy_map:184-198)
+                N, H, W = x.shape[:3]
+                xm = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, W, dtype=x.dtype)[None, None, :],
+                    (N, H, W),
+                )
+                ym = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, H, dtype=x.dtype)[None, :, None],
+                    (N, H, W),
+                )
+                x = jnp.concatenate(
+                    [x, xm[..., None], ym[..., None]], axis=-1
+                )
             # stem: stride-4 (hrnet.py:268-274)
             x = nn.relu(bn(nn.Conv(64, (3, 3), (2, 2), "SAME", use_bias=False,
                                    dtype=self.dtype)(x)))

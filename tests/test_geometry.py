@@ -295,3 +295,44 @@ class TestImgProc:
         assert g[7, 5] == pytest.approx(1.0)
         assert g[7, 5 + 6] == pytest.approx(np.exp(-36 / 8.0))
         assert g[7, 5 + 7] == 0.0  # outside the 3-sigma window
+
+
+class TestSimilarityAndPnp:
+    def test_similarity_recovers_scale_rotation(self, rng):
+        from snvc_tpu.geometry.transforms import similarity_transform
+
+        Y = rng.standard_normal((12, 3))
+        ang = 0.7
+        R = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1.0],
+        ])
+        X = 1.7 * Y @ R.T + np.array([0.5, -1.0, 2.0])
+        d, Z, T, b, c = similarity_transform(X, Y, compute_optimal_scale=True)
+        assert b == pytest.approx(1.7, rel=1e-6)
+        np.testing.assert_allclose(Z, X, atol=1e-8)
+        assert d == pytest.approx(0.0, abs=1e-10)
+        # without scale estimation b is forced to 1 and error is nonzero
+        d1, Z1, T1, b1, _ = similarity_transform(X, Y)
+        assert b1 == 1.0 and d1 > 0
+
+    def test_pnp_refine_reprojects(self, rng):
+        from snvc_tpu.geometry.transforms import pnp_refine
+
+        K = np.array([[700.0, 0, 600.0], [0, 700.0, 180.0], [0, 0, 1.0]])
+        # model points and a ground-truth pose
+        pts = rng.uniform(-1, 1, (8, 3))
+        ang = 0.3
+        R = np.array([
+            [np.cos(ang), 0, np.sin(ang)],
+            [0, 1, 0],
+            [-np.sin(ang), 0, np.cos(ang)],
+        ])
+        t = np.array([0.2, -0.1, 8.0])
+        cam = pts @ R.T + t
+        uvw = cam @ K.T
+        obs = uvw[:, :2] / uvw[:, 2:3]
+        refined = pnp_refine(pts, obs, K)
+        assert refined.shape == (3, 8)
+        np.testing.assert_allclose(refined.T, cam, atol=1e-4)

@@ -254,3 +254,25 @@ class TestConv3dDecomposition:
         want = ref.apply(v, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+class TestAddXY:
+    def test_add_xy_changes_input_channels_only(self, rng):
+        """add_xy appends normalized coordinate maps before the stem
+        (reference hrnet.py:550-560): output shape is unchanged, but the
+        network becomes translation-variant (same crop content at a
+        different position yields different features)."""
+        from snvc_tpu.config import BackboneConfig
+        from snvc_tpu.models.hrnet import HRNet
+
+        cfg = BackboneConfig(name="hrnet-tiny", add_xy=True)
+        model = HRNet(cfg, head_type="default")
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(v, x)
+        assert y.shape[1:3] == (16, 16)
+        # first conv kernel sees 5 input channels
+        stem_kernel = jax.tree_util.tree_leaves(
+            {k: p for k, p in v["params"].items() if k == "Conv_0"}
+        )[0]
+        assert stem_kernel.shape[2] == 5
