@@ -44,13 +44,15 @@ class BasicBlock(nn.Module):
         bn = lambda h: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype
         )(h)
+        # explicit (1,1) padding = torch Conv2d(k3, pad=1); flax "SAME" at
+        # stride 2 pads (0,1) and shifts converted checkpoints by a pixel
         out = nn.Conv(
-            self.features, (3, 3), (self.stride,) * 2, "SAME", use_bias=False,
-            dtype=self.dtype,
+            self.features, (3, 3), (self.stride,) * 2, ((1, 1), (1, 1)),
+            use_bias=False, dtype=self.dtype,
         )(x)
         out = nn.relu(bn(out))
-        out = nn.Conv(self.features, (3, 3), (1, 1), "SAME", use_bias=False,
-                      dtype=self.dtype)(out)
+        out = nn.Conv(self.features, (3, 3), (1, 1), ((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype)(out)
         out = bn(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), (self.stride,) * 2,
@@ -76,8 +78,8 @@ class Bottleneck(nn.Module):
         out = nn.relu(bn(nn.Conv(self.features, (1, 1), use_bias=False,
                                  dtype=self.dtype)(x)))
         out = nn.relu(
-            bn(nn.Conv(self.features, (3, 3), (self.stride,) * 2, "SAME",
-                       use_bias=False, dtype=self.dtype)(out))
+            bn(nn.Conv(self.features, (3, 3), (self.stride,) * 2,
+                       ((1, 1), (1, 1)), use_bias=False, dtype=self.dtype)(out))
         )
         out = bn(nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(out))
         if self.stride != 1 or x.shape[-1] != out_ch:
@@ -116,8 +118,8 @@ class FuseLayer(nn.Module):
         for k in range(i - j):
             last = k == i - j - 1
             ch = self.features if last else x.shape[-1]
-            x = bn(nn.Conv(ch, (3, 3), (2, 2), "SAME", use_bias=False,
-                           dtype=self.dtype)(x))
+            x = bn(nn.Conv(ch, (3, 3), (2, 2), ((1, 1), (1, 1)),
+                           use_bias=False, dtype=self.dtype)(x))
             if not last:
                 x = nn.relu(x)
         return x
@@ -174,8 +176,9 @@ class Transition(nn.Module):
             if i < n_pre:
                 if self.out_channels[i] != self.in_channels[i]:
                     h = nn.relu(
-                        bn(nn.Conv(self.out_channels[i], (3, 3), (1, 1), "SAME",
-                                   use_bias=False, dtype=self.dtype)(xs[i]))
+                        bn(nn.Conv(self.out_channels[i], (3, 3), (1, 1),
+                                   ((1, 1), (1, 1)), use_bias=False,
+                                   dtype=self.dtype)(xs[i]))
                     )
                 else:
                     h = xs[i]
@@ -184,8 +187,8 @@ class Transition(nn.Module):
                 for j in range(i + 1 - n_pre):
                     ch = self.out_channels[i] if j == i - n_pre else h.shape[-1]
                     h = nn.relu(
-                        bn(nn.Conv(ch, (3, 3), (2, 2), "SAME", use_bias=False,
-                                   dtype=self.dtype)(h))
+                        bn(nn.Conv(ch, (3, 3), (2, 2), ((1, 1), (1, 1)),
+                                   use_bias=False, dtype=self.dtype)(h))
                     )
             outs.append(h)
         return outs
@@ -235,10 +238,10 @@ class HRNet(nn.Module):
                     [x, xm[..., None], ym[..., None]], axis=-1
                 )
             # stem: stride-4 (hrnet.py:268-274)
-            x = nn.relu(bn(nn.Conv(64, (3, 3), (2, 2), "SAME", use_bias=False,
-                                   dtype=self.dtype)(x)))
-            x = nn.relu(bn(nn.Conv(64, (3, 3), (2, 2), "SAME", use_bias=False,
-                                   dtype=self.dtype)(x)))
+            x = nn.relu(bn(nn.Conv(64, (3, 3), (2, 2), ((1, 1), (1, 1)),
+                                   use_bias=False, dtype=self.dtype)(x)))
+            x = nn.relu(bn(nn.Conv(64, (3, 3), (2, 2), ((1, 1), (1, 1)),
+                                   use_bias=False, dtype=self.dtype)(x)))
             # stage 1
             s1 = stages[0]
             block, exp = _BLOCKS[s1.block]
@@ -269,8 +272,8 @@ class HRNet(nn.Module):
                     xs[i + 1], train
                 )
                 down = nn.relu(
-                    bn(nn.Conv(head_channels[i + 1] * 4, (3, 3), (2, 2), "SAME",
-                               dtype=self.dtype)(y))
+                    bn(nn.Conv(head_channels[i + 1] * 4, (3, 3), (2, 2),
+                               ((1, 1), (1, 1)), dtype=self.dtype)(y))
                 )
                 y = incre + down
             y = nn.relu(bn(nn.Conv(2048, (1, 1), dtype=self.dtype)(y)))

@@ -111,11 +111,15 @@ class ConvNorm(nn.Module):
     def __call__(self, x, train: bool = False):
         k = (self.kernel,) * 2 if isinstance(self.kernel, int) else self.kernel
         s = (self.stride,) * 2 if isinstance(self.stride, int) else self.stride
+        # torch-symmetric padding ((k-1)//2 * dilation per side): equals
+        # SAME at stride 1, but flax-SAME at stride 2 pads (0, 1) and
+        # shifts converted torch checkpoints by one pixel
+        pad = tuple(((kk - 1) // 2 * self.dilation,) * 2 for kk in k)
         x = nn.Conv(
             self.features,
             k,
             strides=s,
-            padding="SAME",
+            padding=pad,
             kernel_dilation=(self.dilation,) * 2,
             use_bias=False,
             dtype=self.dtype,
@@ -157,12 +161,13 @@ class Conv3d(nn.Module):
         dt = self.dtype or x.dtype
         w = w.astype(dt)
         x = x.astype(dt)
-        # SAME padding along depth (flax/XLA convention: extra on the high side)
-        Do = -(-D // sd)
+        # torch-symmetric padding along depth: (eff-1)//2 per side (equals
+        # flax-SAME at stride 1; at stride 2 flax-SAME pads (0, 1) which
+        # misaligns converted torch checkpoints by one voxel)
         eff_kd = (kd - 1) * dil + 1
-        pad_total = max((Do - 1) * sd + eff_kd - D, 0)
-        pad_lo = pad_total // 2
-        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_total - pad_lo), (0, 0), (0, 0), (0, 0)))
+        pad_d = (eff_kd - 1) // 2
+        Do = (D + 2 * pad_d - eff_kd) // sd + 1
+        xp = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
         out = None
         for dz in range(kd):
             start = dz * dil
@@ -172,11 +177,13 @@ class Conv3d(nn.Module):
             # has no transpose rule (grad dies with a dtype mismatch); the
             # MXU accumulates in f32 internally either way, and the cross-
             # tap sum is upcast explicitly below
+            pad_h = ((kh - 1) * dil) // 2
+            pad_w = ((kw - 1) * dil) // 2
             o = jax.lax.conv_general_dilated(
                 xs,
                 w[dz],
                 (sh, sw),
-                "SAME",
+                ((pad_h, pad_h), (pad_w, pad_w)),
                 rhs_dilation=(dil, dil),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).astype(jnp.float32)

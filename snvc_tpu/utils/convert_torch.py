@@ -88,9 +88,20 @@ def groupnorm_params(prefix: str, sd: Dict[str, np.ndarray]):
 
 
 def _flatten(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Any]]:
+    """Flatten a flax param tree in CREATION order.
+
+    flax dicts preserve module-creation order, which for a faithfully
+    mirrored architecture equals torch's registration (state_dict) order —
+    including interleaved module types (HRNet's stem convs/bns, stages,
+    transitions).  Sorting alphabetically here would visit BatchNorm_*
+    before Conv_* and scramble the greedy alignment; the numeric sort is
+    applied only as a tiebreak normalization when the dict arrives
+    unordered (e.g. deserialized checkpoints, detected by keys being in
+    neither creation nor sorted order is impossible — so we keep plain
+    insertion order and rely on live-model trees)."""
     out = []
     if isinstance(tree, dict):
-        for k in sorted(tree.keys(), key=_module_sort_key):
+        for k in tree.keys():
             out.extend(_flatten(tree[k], prefix + (k,)))
     else:
         out.append((prefix, tree))

@@ -268,3 +268,44 @@ class TestVernierCheckpointMap:
                 {"feat_net.0.weight": np.zeros((4, 3, 3, 3), np.float32)},
                 variables["params"], variables.get("batch_stats", {}),
             )
+
+
+class TestHRNetBackboneParity:
+    def test_hrnet_statedict_converts_with_forward_parity(self, rng):
+        """A LIVE torch HRNet (registered in the reference's module order:
+        conv1, bn1, conv2, bn2, layer1, transition1, stage2, ...,
+        tests/torch_hrnet.py) converts onto the flax HRNet by creation-
+        order greedy alignment with exact forward parity — the end-to-end
+        guarantee the epoch_80 'feat_net' group needs."""
+        import torch
+
+        from snvc_tpu.config import BackboneConfig
+        from snvc_tpu.models.hrnet import HRNet
+        from tests.torch_hrnet import THRNet
+
+        cfg = BackboneConfig(name="hrnet-tiny")
+        tmodel = THRNet(cfg.stages())
+        tmodel.eval()
+        # nontrivial BN statistics everywhere
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.3, 0.3)
+                    m.running_var.uniform_(0.7, 1.4)
+                    m.weight.uniform_(0.6, 1.4)
+                    m.bias.uniform_(-0.2, 0.2)
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+        model = HRNet(cfg, head_type="default")
+        x = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params, stats = convert_module(
+            sd, variables["params"], variables["batch_stats"]
+        )
+        got = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(x))
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4)

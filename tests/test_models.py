@@ -183,6 +183,9 @@ class TestConv3dDecomposition:
         ],
     )
     def test_matches_native_conv3d(self, rng, kernel, stride, dilation):
+        """Reference point: native Conv3D with the torch-symmetric padding
+        ((eff-1)//2 per side, = torch Conv3d(pad=k//2*d)); equals SAME at
+        stride 1 and the torch alignment at stride 2."""
         from flax import linen as nn
         from snvc_tpu.models.layers import Conv3d
 
@@ -190,11 +193,33 @@ class TestConv3dDecomposition:
         mod = Conv3d(4, kernel, stride, dilation)
         v = mod.init(jax.random.PRNGKey(0), x)
         got = mod.apply(v, x)
-        ref = nn.Conv(4, kernel, strides=stride, padding="SAME",
+        pad = tuple((((k - 1) * dilation) // 2,) * 2 for k in kernel)
+        ref = nn.Conv(4, kernel, strides=stride, padding=pad,
                       kernel_dilation=(dilation,) * 3, use_bias=False)
         want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def test_conv3d_matches_torch_strided(self, rng):
+        """End-to-end torch parity for the strided case that SAME padding
+        gets wrong (one-voxel shift)."""
+        import torch
+
+        from snvc_tpu.models.layers import Conv3d
+        from snvc_tpu.utils.convert_torch import conv3d_kernel
+
+        tm = torch.nn.Conv3d(6, 4, 3, stride=2, padding=1, bias=False)
+        x = rng.standard_normal((1, 6, 8, 10, 12)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        mod = Conv3d(4, (3, 3, 3), (2, 2, 2))
+        got = mod.apply(
+            {"params": {"kernel": jnp.asarray(conv3d_kernel(tm.weight.detach().numpy()))}},
+            jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))),
+        )
+        got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
 
     def test_convtranspose3d_fast_matches_native(self, rng):
         """The 8-parity subpixel decomposition equals flax's native
