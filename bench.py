@@ -11,11 +11,13 @@ and no measured anchor exists yet, so the ratio is computed against a
 DECLARED (not measured) anchor and the JSON labels it as such via
 "baseline_anchor"/"baseline_kind" — see BASELINE.md's measurement plan.
 
-Prints exactly one JSON line:
+Prints one JSON line per benchmarked configuration:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
---model stereo benches the global model (stereo pairs/sec/chip);
---config flagship benches the release-scale 32x192x192 instance grid.
+The bare invocation (the driver's) runs the FULL surface — vernier small,
+vernier flagship (release-scale 32x192x192 grid), and the global stereo
+model — one line each.  --config/--model narrow to a single line for
+iterating.
 """
 
 import argparse
@@ -120,29 +122,45 @@ def bench_stereo(iters: int):
     return 1.0 / ts[len(ts) // 2]
 
 
+def emit_stereo(iters: int):
+    pps = bench_stereo(iters)
+    print(
+        json.dumps(
+            {
+                "metric": "stereonet_throughput",
+                "value": round(pps, 2),
+                "unit": "stereo_pairs/sec/chip",
+                "vs_baseline": round(pps / 1.0, 3),
+                "baseline_anchor": 1.0,
+                "baseline_kind": "declared_not_measured",
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", default="small", choices=["tiny", "small", "flagship"])
+    p.add_argument(
+        "--config", default="all", choices=["all", "tiny", "small", "flagship"]
+    )
     p.add_argument("--model", default="vernier", choices=["vernier", "stereo"])
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
 
-    if args.model == "stereo":
-        pps = bench_stereo(args.iters)
-        print(
-            json.dumps(
-                {
-                    "metric": "stereonet_throughput",
-                    "value": round(pps, 2),
-                    "unit": "stereo_pairs/sec/chip",
-                    "vs_baseline": round(pps / 1.0, 3),
-                    "baseline_anchor": 1.0,
-                    "baseline_kind": "declared_not_measured",
-                }
-            )
-        )
+    if args.config == "all":
+        # full driver surface: three JSON lines
+        bench_vernier("small", args.iters)
+        bench_vernier("flagship", args.iters)
+        emit_stereo(args.iters)
         return
+    if args.model == "stereo":
+        emit_stereo(args.iters)
+        return
+    bench_vernier(args.config, args.iters)
 
+
+def bench_vernier(config: str, iters: int):
     import jax
 
     from snvc_tpu.utils.cache import enable_compilation_cache
@@ -154,7 +172,7 @@ def main():
     from snvc_tpu.models.vernier import VernierScale
     import jax.numpy as jnp
 
-    cfg = build(args.config)
+    cfg = build(config)
     model = VernierScale(cfg)
     H, W = cfg.resolution
     nh, nw, nl = cfg.grid_resolution
@@ -213,11 +231,11 @@ def main():
         _jax.device_put(
             base_samples + np.float32(1e-4 * (i + 1)), _jax.devices()[0]
         )
-        for i in range(args.iters + 2)
+        for i in range(iters + 2)
     ]
     _jax.block_until_ready(sample_variants)
     ts = []
-    for i in range(args.iters + 2):
+    for i in range(iters + 2):
         device_batch["samples"] = sample_variants[i]
         t0 = time.perf_counter()
         out = runner.step(db, host_outputs=())
@@ -229,7 +247,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"vernier_refinement_throughput_{args.config}",
+                "metric": f"vernier_refinement_throughput_{config}",
                 "value": round(inst_per_sec, 2),
                 "unit": "instances/sec/chip",
                 "vs_baseline": round(
@@ -238,7 +256,8 @@ def main():
                 "baseline_anchor": REFERENCE_ANCHOR_INSTANCES_PER_SEC,
                 "baseline_kind": "declared_not_measured",
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -98,6 +98,20 @@ def hrnet_tiny_stages() -> Tuple[HRNetStageConfig, ...]:
     )
 
 
+def hrnet_multi_stages() -> Tuple[HRNetStageConfig, ...]:
+    """Small stages with REPEATED modules per stage (num_modules 2/3/2) and
+    a 4-branch final stage — the release hrnet-w48/w32 enumeration class
+    (reference hrnet.py:460-500) at test size.  Exists to pin the
+    checkpoint converter's within-stage repeated-module ordering without
+    paying a full w32 init in CI."""
+    return (
+        HRNetStageConfig(1, 1, "bottleneck", (2,), (16,)),
+        HRNetStageConfig(2, 2, "basic", (2, 2), (8, 16)),
+        HRNetStageConfig(3, 3, "basic", (2, 2, 2), (8, 16, 32)),
+        HRNetStageConfig(2, 4, "basic", (2, 2, 2, 2), (8, 16, 32, 64)),
+    )
+
+
 @dataclass(frozen=True)
 class BackboneConfig(_Base):
     """2D feature extractor config (reference: hrnet.get_model, hrnet.py:562)."""
@@ -115,6 +129,8 @@ class BackboneConfig(_Base):
             return hrnet_w48_stages()
         if self.name == "hrnet-tiny":
             return hrnet_tiny_stages()
+        if self.name == "hrnet-test-multi":
+            return hrnet_multi_stages()
         raise ValueError(f"unknown backbone {self.name}")
 
     @property
@@ -188,7 +204,15 @@ class VernierConfig(_Base):
     # only way to build multi-frame serving batches for val sweeps)
     frames_per_batch: int = 1
     image_size: Tuple[int, int] = (384, 1280)  # full-frame pad size (H, W)
-    # --- output ---
+    # --- pose update / output ---
+    # NCF -> part position decode: "argmax" (reference get_max_preds) or
+    # "soft-argmax" (reference img_proc.soft_arg_max — sub-voxel decode)
+    ncf_decode: str = "argmax"
+    # Filter gate: heatmap values outside [filter_min, filter_max] mark an
+    # implausible prediction and the update is rejected
+    # (tools/inference_agnostic.py:94-105)
+    filter_min: float = -1.0
+    filter_max: float = 2.0
     save: bool = True
     pred_type: Tuple[str, ...] = ("all_parts",)
     output_dir: str = "outputs"

@@ -34,7 +34,18 @@ class InstanceRecord:
 def build_db_from_gt(
     dataset: KittiDataset, cfg: VernierConfig, indices: Optional[Sequence[int]] = None
 ) -> List[InstanceRecord]:
-    """One record per GT instance (reference _init_db_from_gt:119-153)."""
+    """One record per GT instance (reference _init_db_from_gt:119-153).
+
+    When training with augmentation, each instance appears
+    ``cfg.augment_times`` times in the DB; every occurrence draws its own
+    perturbation noise at batch-build time, so one epoch sees
+    augment_times independent proposals per object (the reference's
+    recovered augment_times semantics, SURVEY.md §5)."""
+    repeats = (
+        max(1, int(cfg.augment_times))
+        if cfg.usage == "train" and cfg.augment
+        else 1
+    )
     db: List[InstanceRecord] = []
     for idx in indices if indices is not None else dataset.indices:
         scene = dataset.scene(idx)
@@ -47,11 +58,12 @@ def build_db_from_gt(
             truncation_threshold=0.8,
         )
         for k in range(len(box3ds)):
-            db.append(
-                InstanceRecord(
-                    scene=scene, calib_left=cl, calib_right=cr, label=box3ds[k]
+            for _ in range(repeats):
+                db.append(
+                    InstanceRecord(
+                        scene=scene, calib_left=cl, calib_right=cr, label=box3ds[k]
+                    )
                 )
-            )
     return db
 
 
@@ -123,6 +135,7 @@ def perturb_box(
     calib_left: Optional[Calibration] = None,
     calib_right: Optional[Calibration] = None,
     max_trials: int = 10,
+    image_hw=None,
 ) -> np.ndarray:
     """Gaussian proposal noise around a GT box
     (reference _generate_noise/_purturb_3D_box:284-321).
@@ -131,9 +144,15 @@ def perturb_box(
     noise draws are attempted until the perturbed box stays in both
     cameras' view; if every trial fails the unperturbed box is returned
     (the fixed-shape batch cannot drop the sample like the reference's
-    dynamic list does)."""
+    dynamic list does).
+
+    image_hw is the NATIVE image extent (scene.native_image_size()); the
+    padded batch canvas (cfg.image_size) is only a fallback — its padding
+    band contains no pixels, so gating on it would admit boxes that crop
+    to black."""
     check = cfg.check_fov and calib_left is not None and calib_right is not None
     trials = max_trials if check else 1
+    hw = image_hw if image_hw is not None else cfg.image_size
     for _ in range(trials):
         noise = np.zeros(7)
         if cfg.rot_aug:
@@ -143,7 +162,7 @@ def perturb_box(
         if cfg.dim_aug:
             noise[:3] = rng.normal(size=3) * np.asarray(cfg.std_dim)
         sample = (box + noise).astype(np.float32)
-        if not check or in_fov(sample, calib_left, calib_right, cfg.image_size):
+        if not check or in_fov(sample, calib_left, calib_right, hw):
             return sample
     return box.astype(np.float32).copy()
 

@@ -68,6 +68,24 @@ class KittiScene:
         """[N, 4] velodyne points (x, y, z, reflectance)."""
         return np.fromfile(self.lidar_path, dtype=np.float32).reshape(-1, 4)
 
+    def native_image_size(self) -> Tuple[int, int]:
+        """(H, W) of the stored left image, read from the PNG IHDR header
+        (no decode).  KITTI frames are ~375x1242 — smaller than the padded
+        batch canvas — and FOV checks must gate on the real extent or
+        boxes whose center lands in the padding band pass the gate yet see
+        only black pixels in the crop."""
+        if not hasattr(self, "_native_hw"):
+            with open(self.left_image_path, "rb") as f:
+                head = f.read(26)
+            if head[:8] != b"\x89PNG\r\n\x1a\n":  # non-PNG: decode fallback
+                img = self.load_image("left")
+                self._native_hw = (img.shape[0], img.shape[1])
+            else:
+                w = int.from_bytes(head[16:20], "big")
+                h = int.from_bytes(head[20:24], "big")
+                self._native_hw = (h, w)
+        return self._native_hw
+
     def load_image(self, camera: str = "left") -> np.ndarray:
         """RGB uint8 [H, W, 3]."""
         import cv2

@@ -219,6 +219,8 @@ class RefinementPipeline:
                     perturb_box(
                         base, cfg, self.rng,
                         calib_left=rec.calib_left, calib_right=rec.calib_right,
+                        image_hw=rec.scene.native_image_size()
+                        if cfg.check_fov else None,
                     )
                     if (self.training and cfg.augment) or cfg.sup_type == "synthetic"
                     else base.copy()

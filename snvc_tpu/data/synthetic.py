@@ -200,6 +200,73 @@ def make_synthetic_kitti(
     return all_boxes
 
 
+def make_synthetic_sequence(
+    root: str,
+    num_frames: int = 8,
+    seed: int = 0,
+    split: str = "val",
+    velocity=(0.15, 0.0, -0.45),
+    yaw_rate: float = 0.02,
+) -> List[np.ndarray]:
+    """A MOVING-object sequence: one car translating by ``velocity`` m/frame
+    (rect camera frame) with a slow yaw drift, same rendering/labels/LiDAR
+    as make_synthetic_kitti.  The tracking-by-detection demo's substrate
+    (reference README.md:19-20: search for the next pose from an initial
+    cuboid).  Returns the per-frame GT box (one per frame)."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "training")
+    for d in ("image_2", "image_3", "calib", "label_2", "velodyne"):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+    cl = Calibration.default()
+    cr = Calibration.default_right()
+    box = random_car_box(rng)
+    box[3:6] = [0.5, 1.65, 18.0]  # start near the image center
+    vel = np.asarray(velocity, np.float32)
+    all_boxes = []
+    for fi in range(num_frames):
+        name = f"{fi:06d}"
+        boxes = box[None].copy()
+        all_boxes.append(boxes.copy())
+        img_l = render_scene(boxes, cl, rng)
+        img_r = render_scene(boxes, cr, rng)
+        cv2.imwrite(os.path.join(base, "image_2", name + ".png"),
+                    cv2.cvtColor(img_l, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(base, "image_3", name + ".png"),
+                    cv2.cvtColor(img_r, cv2.COLOR_RGB2BGR))
+        with open(os.path.join(base, "calib", name + ".txt"), "w") as f:
+            f.write(_calib_text())
+        uv = cl.rect_to_image(gbox.box_corners_cam(box))
+        box2d = np.clip(
+            np.array([uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()]),
+            0, [IMG_W - 1, IMG_H - 1, IMG_W - 1, IMG_H - 1],
+        )
+        lab = KittiLabel(
+            type="Car", truncation=0.0, occlusion=0,
+            alpha=ry_to_alpha(box[3], box[5], box[6]),
+            box2d=box2d.astype(np.float32), box3d=box.copy(),
+        )
+        with open(os.path.join(base, "label_2", name + ".txt"), "w") as f:
+            f.write(format_label(lab) + "\n")
+        pts_rect = np.concatenate([
+            surface_points(box, rng),
+            np.stack([rng.uniform(-20, 20, 2000), np.full(2000, 1.7),
+                      rng.uniform(5, 45, 2000)], axis=1),
+        ])
+        pts_velo = cl.rect_to_velo(pts_rect)
+        pc = np.zeros((len(pts_velo), 4), np.float32)
+        pc[:, :3] = pts_velo
+        pc[:, 3] = 0.5
+        pc.tofile(os.path.join(base, "velodyne", name + ".bin"))
+        box = box.copy()
+        box[3:6] += vel
+        box[6] += yaw_rate
+    with open(os.path.join(root, split + ".txt"), "w") as f:
+        f.write("\n".join(f"{i:06d}" for i in range(num_frames)) + "\n")
+    return all_boxes
+
+
 def write_predictions(
     out_dir: str,
     all_boxes: List[np.ndarray],

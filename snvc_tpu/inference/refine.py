@@ -68,6 +68,9 @@ def _finalize(outputs, batch, cfg, grid_local, with_targets):
         cfg.x_range,
         cfg.z_range,
         coordinates=outputs.get("coordinates"),
+        filter_min=cfg.filter_min,
+        filter_max=cfg.filter_max,
+        decode=cfg.ncf_decode,
     )
     result = dict(
         one_part=upd.one_part,

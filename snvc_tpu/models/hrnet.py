@@ -220,18 +220,24 @@ class HRNet(nn.Module):
         )(h)
 
         if head != "heatmap_regression":
-            if self.cfg.add_xy:
-                # coordinate-conv input augmentation: normalized x/y maps
-                # appended as extra channels (reference add_xy /
-                # modify_input_channel, hrnet.py:550-560, with maps per
-                # img_proc.generate_xy_map:184-198)
+            if self.cfg.add_xy and x.shape[-1] == 3:
+                # coordinate-conv input augmentation (reference add_xy /
+                # modify_input_channel, hrnet.py:550-560).  The REAL maps
+                # are the ROI bbox's [-1, 1] coordinates in the GLOBAL
+                # image frame (img_proc.generate_xy_map:184-198, appended
+                # in the data path, img_proc.py:222-223) — the instance
+                # pipeline computes them from the crop affine and ships
+                # 5-channel ROIs (ops.assemble.roi_xy_maps).  When a bare
+                # 3-channel image reaches the backbone directly (tests,
+                # standalone use) fall back to the degenerate
+                # bbox-==-whole-image maps: [-1, 1] ramps over the crop.
                 N, H, W = x.shape[:3]
                 xm = jnp.broadcast_to(
-                    jnp.linspace(0.0, 1.0, W, dtype=x.dtype)[None, None, :],
+                    jnp.linspace(-1.0, 1.0, W, dtype=x.dtype)[None, None, :],
                     (N, H, W),
                 )
                 ym = jnp.broadcast_to(
-                    jnp.linspace(0.0, 1.0, H, dtype=x.dtype)[None, :, None],
+                    jnp.linspace(-1.0, 1.0, H, dtype=x.dtype)[None, :, None],
                     (N, H, W),
                 )
                 x = jnp.concatenate(

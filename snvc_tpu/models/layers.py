@@ -161,11 +161,13 @@ class Conv3d(nn.Module):
         dt = self.dtype or x.dtype
         w = w.astype(dt)
         x = x.astype(dt)
-        # torch-symmetric padding along depth: (eff-1)//2 per side (equals
-        # flax-SAME at stride 1; at stride 2 flax-SAME pads (0, 1) which
-        # misaligns converted torch checkpoints by one voxel)
+        # torch-symmetric padding along depth: (k-1)//2 * dilation per side,
+        # the same formula as ConvNorm (equals flax-SAME at stride 1; at
+        # stride 2 flax-SAME pads (0, 1) which misaligns converted torch
+        # checkpoints by one voxel; ((k-1)*dil)//2 would differ for even
+        # kernels with dilation > 1)
         eff_kd = (kd - 1) * dil + 1
-        pad_d = (eff_kd - 1) // 2
+        pad_d = (kd - 1) // 2 * dil
         Do = (D + 2 * pad_d - eff_kd) // sd + 1
         xp = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
         out = None
@@ -177,8 +179,8 @@ class Conv3d(nn.Module):
             # has no transpose rule (grad dies with a dtype mismatch); the
             # MXU accumulates in f32 internally either way, and the cross-
             # tap sum is upcast explicitly below
-            pad_h = ((kh - 1) * dil) // 2
-            pad_w = ((kw - 1) * dil) // 2
+            pad_h = (kh - 1) // 2 * dil
+            pad_w = (kw - 1) // 2 * dil
             o = jax.lax.conv_general_dilated(
                 xs,
                 w[dz],

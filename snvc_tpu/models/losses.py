@@ -138,6 +138,12 @@ def vernier_losses(
         )
         losses["coordinates"] = lc
         total = total + coordinate_weight * lc
+    if outputs.get("bbox") is not None and "gt_box_local" in targets:
+        # FC bbox head refinement (reference BboxLoss '2D' branch,
+        # loss3d.py:651-655: plain L1 against gt_box_local)
+        lb = bbox_loss_2d(outputs["bbox"], targets["gt_box_local"], valid)["l1"]
+        losses["bbox"] = lb
+        total = total + lb
     losses["total"] = total
     return losses
 

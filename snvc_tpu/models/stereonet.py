@@ -68,7 +68,14 @@ def bev_locations(cfg: StereoConfig) -> np.ndarray:
     return np.stack([gx, gz], axis=-1).reshape(-1, 2).astype(np.float32)
 
 
-class StereoNet(nn.Module):
+class StereoEncoder(nn.Module):
+    """Shared 2D feature extraction over both views.
+
+    Kept as its own child module (mirroring VernierEncoder) so training
+    and inference can compile it as a separate XLA program: fusing the 2D
+    extractor with the 3D conv stack in one program inflates TPU compile
+    time by an order of magnitude (BENCH.md optimization log #1)."""
+
     cfg: StereoConfig
 
     @property
@@ -76,16 +83,7 @@ class StereoNet(nn.Module):
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
 
     @nn.compact
-    def __call__(self, left, right, P_left, P_right, train: bool = False):
-        """left/right: [N, H, W, 3] normalized images; P_*: [N, 3, 4].
-
-        Returns dict with:
-          depth      [N, H/4, W/4]   regressed depth map
-          depth_prob [N, D, H/4, W/4] softmax depth distribution
-          cls        [N, Z, X, A*K]  BEV classification logits
-          reg        [N, Z, X, A*K*24] corner regression
-          centerness [N, Z, X, A or A*K]
-        """
+    def __call__(self, left, right, train: bool = False):
         cfg = self.cfg
         dt = self.dtype
         net = StereoFeatureNet(
@@ -99,7 +97,22 @@ class StereoNet(nn.Module):
         )
         lf, rpn_img = net(left.astype(dt), train)
         rf, _ = net(right.astype(dt), train)
+        return lf, rf, rpn_img
 
+
+class StereoHead(nn.Module):
+    """Cost volume -> 3D stack -> depth regression + BEV RPN head."""
+
+    cfg: StereoConfig
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @nn.compact
+    def __call__(self, lf, rf, rpn_img, P_left, P_right, train: bool = False):
+        cfg = self.cfg
+        dt = self.dtype
         depths = jnp.asarray(depth_hypotheses(cfg))
         # disparity (in feature pixels) per depth plane: disp = f*B / z / 4
         # with B = b_x(right) - b_x(left) > 0 and b_x = P[0,3] / (-f)
@@ -169,6 +182,37 @@ class StereoNet(nn.Module):
             out["reg"] = reg.astype(jnp.float32)
             out["centerness"] = ctr.astype(jnp.float32)
         return out
+
+
+class StereoNet(nn.Module):
+    """Full global model: encoder + head (SURVEY.md §3.4; the reference
+    class is unreleased — commented import, snvc/models/__init__.py:1-2).
+
+    For split-program compilation, apply the children separately through
+    their scoped variables (snvc_tpu.models.vernier.scope_variables)::
+
+        feats = StereoEncoder(cfg).apply(scope_variables(v, "encoder"), l, r)
+        out = StereoHead(cfg).apply(scope_variables(v, "head"), *feats, Pl, Pr)
+    """
+
+    cfg: StereoConfig
+
+    def setup(self):
+        self.encoder = StereoEncoder(self.cfg)
+        self.head = StereoHead(self.cfg)
+
+    def __call__(self, left, right, P_left, P_right, train: bool = False):
+        """left/right: [N, H, W, 3] normalized images; P_*: [N, 3, 4].
+
+        Returns dict with:
+          depth      [N, H/4, W/4]   regressed depth map
+          depth_prob [N, D, H/4, W/4] softmax depth distribution
+          cls        [N, Z, X, A*K]  BEV classification logits
+          reg        [N, Z, X, A*K*24] corner regression
+          centerness [N, Z, X, A]
+        """
+        lf, rf, rpn_img = self.encoder(left, right, train)
+        return self.head(lf, rf, rpn_img, P_left, P_right, train)
 
 
 def frustum_img_to_bev(img_feat, P_mat, cfg: StereoConfig):

@@ -69,6 +69,32 @@ def grid_projections(sample, P, trans, grid_local):
     return apply_affine_jnp(uv, trans)
 
 
+def roi_xy_maps(trans, roi_hw, image_size):
+    """Global-frame normalized coordinate maps of each ROI's pixels.
+
+    trans: [B, 2, 3] source->ROI crop affines; roi_hw: (oh, ow);
+    image_size: (H, W) of the global frame the affines act in.
+    Returns [B, oh, ow, 2] with x = 2*u/W - 1, y = 2*v/H - 1 of each ROI
+    pixel's source position — the reference's generate_xy_map semantics
+    (img_proc.py:184-198; appended to the crop in the data path,
+    img_proc.py:222-223).  Crop-local ramps would be identical for every
+    ROI and carry no positional/ray-direction information.
+    """
+    from snvc_tpu.ops.warp import invert_affine_jnp
+
+    oh, ow = roi_hw
+    gh, gw = image_size
+    inv = invert_affine_jnp(jnp.asarray(trans, jnp.float32))  # ROI -> source
+    oy = jnp.arange(oh, dtype=jnp.float32)
+    ox = jnp.arange(ow, dtype=jnp.float32)
+    # crop affines are scale+translate (geometry.imgproc.crop_affine)
+    su = inv[:, 0, 0:1] * ox[None, :] + inv[:, 0, 2:3]  # [B, ow]
+    sv = inv[:, 1, 1:2] * oy[None, :] + inv[:, 1, 2:3]  # [B, oh]
+    xm = jnp.broadcast_to((2.0 * su / gw - 1.0)[:, None, :], (trans.shape[0], oh, ow))
+    ym = jnp.broadcast_to((2.0 * sv / gh - 1.0)[:, :, None], (trans.shape[0], oh, ow))
+    return jnp.stack([xm, ym], axis=-1)
+
+
 def assemble_instances(
     images_left,
     images_right,
@@ -98,6 +124,15 @@ def assemble_instances(
 
     left_rois = extract(images_left, trans_l)
     right_rois = extract(images_right, trans_r)
+    if cfg.backbone.add_xy:
+        # 5-channel ROIs: images + global-frame coordinate maps (reference
+        # img_proc.py:222-223; maps per view since the crops differ)
+        left_rois = jnp.concatenate(
+            [left_rois, roi_xy_maps(trans_l, roi_hw, cfg.image_size)], axis=-1
+        )
+        right_rois = jnp.concatenate(
+            [right_rois, roi_xy_maps(trans_r, roi_hw, cfg.image_size)], axis=-1
+        )
 
     proj = jax.vmap(grid_projections, in_axes=(0, 0, 0, None))
     gpl = proj(samples, P_left[image_idx], trans_l, grid_local)
@@ -182,6 +217,20 @@ def make_targets(
         )
     )(points, points_valid, samples, gt_boxes)
     out = dict(ncf=ncf, occupancy=occ, gt_corners_local=local)
+    if cfg.use_bbox_head:
+        # 5-dof local BEV box target for the FC bbox head (reference
+        # gt_box_local, KITTIRefinement_dataset.py:744-749: GT center in
+        # the sample's object frame, GT l/w, and pi/2 - (sample_ry-gt_ry))
+        out["gt_box_local"] = jnp.stack(
+            [
+                local[:, 0, 0],
+                local[:, 0, 2],
+                gt_boxes[:, 2],
+                gt_boxes[:, 1],
+                0.5 * jnp.pi - (samples[:, 6] - gt_boxes[:, 6]),
+            ],
+            axis=1,
+        )
     if cfg.use_part_reg_head:
         B, P = local.shape[:2]
         diff = local[:, :, None, :] - grid_local[None, None, :, :]  # [B,P,G,3]

@@ -88,3 +88,24 @@ def soft_argmax_2d(heatmaps, temperature: float = 1.0):
     x = jnp.sum(w * xs, axis=(-1, -2))
     y = jnp.sum(w * ys, axis=(-1, -2))
     return jnp.stack([x, y], axis=-1), maxval
+
+
+def soft_argmax_2d_ref(heatmaps):
+    """Reference-exact soft-argmax decode (img_proc.soft_arg_max:656-692):
+    weights = exp(relu(h - 0.01)) - 1 normalized to sum 1, expectation of
+    the (x, y) index grids.  Cells at/below the 0.01 floor contribute
+    exactly zero weight — near a sharp peak this decode converges to the
+    hard argmax while recovering sub-voxel offsets.
+
+    Returns (xy [N, P, 2] float indices, maxval [N, P])."""
+    N, P, Hm, Wm = heatmaps.shape
+    flat = heatmaps.reshape(N, P, -1).astype(jnp.float32)
+    maxval = jnp.max(flat, axis=-1)
+    w = jnp.exp(jax.nn.relu(flat - 0.01)) - 1.0
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    w = w.reshape(N, P, Hm, Wm)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (Hm, Wm), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (Hm, Wm), 0)
+    x = jnp.sum(w * xs, axis=(-1, -2))
+    y = jnp.sum(w * ys, axis=(-1, -2))
+    return jnp.stack([x, y], axis=-1), maxval

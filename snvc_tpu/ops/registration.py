@@ -14,7 +14,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from snvc_tpu.ops.heatmaps import hard_argmax_2d
+from snvc_tpu.ops.heatmaps import hard_argmax_2d, soft_argmax_2d_ref
 
 # object-frame part coordinates of a unit box, matching
 # geometry.boxes._PART_X/_PART_Z (reference vernier.py:744-751)
@@ -74,6 +74,7 @@ def ncf_to_update(
     coordinates: Optional[jnp.ndarray] = None,
     filter_min: float = -1.0,
     filter_max: float = 2.0,
+    decode: str = "argmax",
 ) -> NcfUpdate:
     """Batched equivalent of the reference's ncf_to_update_2d
     (vernier.py:665-738) + Filter gate (tools/inference_agnostic.py:94-105).
@@ -83,6 +84,11 @@ def ncf_to_update(
     coordinates: optional [N, P, 2] normalized (x, z) part coordinates from
       the coord head; if given they replace the argmax decode
       (vernier.py:688-692).
+    decode: "argmax" (reference default, img_proc.get_max_preds) or
+      "soft-argmax" (reference img_proc.soft_arg_max:656-692 — sub-voxel
+      expectation decode); filter_min/filter_max are the Filter gate's
+      plausible-heatmap-value range, surfaced through
+      cfg.filter_min/filter_max.
     Returns refined boxes; where the filter rejects, the sample is
     returned unchanged.
     """
@@ -99,7 +105,10 @@ def ncf_to_update(
         off_x = x0 + coordinates[..., 0] * (x1 - x0)
         off_z = z0 + coordinates[..., 1] * (z1 - z0)
     else:
-        xy, _ = hard_argmax_2d(ncf)  # x = col = w index, y = row = l index
+        if decode == "soft-argmax":
+            xy, _ = soft_argmax_2d_ref(ncf)
+        else:
+            xy, _ = hard_argmax_2d(ncf)  # x = col = w idx, y = row = l idx
         # voxel index -> metric offset via the grid linspace
         off_x = x0 + xy[..., 0] * (x1 - x0) / (nw - 1)
         off_z = z0 + xy[..., 1] * (z1 - z0) / (nl - 1)

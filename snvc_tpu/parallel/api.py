@@ -16,6 +16,7 @@ Multi-host runs initialize jax.distributed and use the same code path
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -59,14 +60,31 @@ def initialize_multihost(
     (tools/inference_agnostic.py:472) — the train steps themselves are
     topology-agnostic pjit programs and need no change.
     """
-    if num_processes is None or num_processes > 1 or coordinator_address:
-        # auto-detected (TPU pod) or explicit multi-process topology
+    explicit_multi = coordinator_address or (
+        num_processes is not None and num_processes > 1
+    )
+    # auto-detection is only meaningful inside a managed pod environment;
+    # calling jax.distributed.initialize with all-defaults on a plain
+    # single-host machine raises (or hangs waiting for a coordinator)
+    pod_env = any(
+        os.environ.get(k)
+        for k in (
+            "COORDINATOR_ADDRESS",
+            "JAX_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "SLURM_JOB_NUM_NODES",
+            "OMPI_COMM_WORLD_SIZE",
+        )
+    )
+    if explicit_multi or (num_processes is None and pod_env):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    # else: single explicit process — jax works without a coordinator
+    # else: single process (explicit num_processes=1 or no detectable pod
+    # environment) — jax works without a coordinator
     local = jax.local_device_count()
     assert n_model <= local, (
         f"model axis {n_model} would cross host boundaries "

@@ -19,7 +19,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from snvc_tpu.config import StereoConfig, TrainConfig
 from snvc_tpu.models.stereo_losses import depth_sl1_loss, rpn3d_loss
-from snvc_tpu.models.stereonet import StereoNet, bev_locations
+from snvc_tpu.models.stereonet import (
+    StereoEncoder,
+    StereoHead,
+    StereoNet,
+    bev_locations,
+)
 from snvc_tpu.training.train import TrainState, make_optimizer
 
 _IMG_MEAN = jnp.array([0.485, 0.456, 0.406])
@@ -32,15 +37,28 @@ def normalize_images(img_u8):
 
 
 def create_stereo_state(model: StereoNet, cfg: StereoConfig, tc: TrainConfig, rng):
+    import contextlib
+
     H, W = cfg.input_size
-    variables = model.init(
-        rng,
-        jnp.zeros((1, H, W, 3)),
-        jnp.zeros((1, H, W, 3)),
-        jnp.eye(3, 4)[None],
-        jnp.eye(3, 4)[None],
-        train=True,
-    )
+    # init host-side when a CPU backend is available (JAX_PLATFORMS=axon,cpu):
+    # an eager init through the TPU tunnel is minutes-slow, and jitting it
+    # on-device compiles a throwaway full-forward program
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            rng,
+            jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, H, W, 3)),
+            jnp.eye(3, 4)[None],
+            jnp.eye(3, 4)[None],
+            train=True,
+        )
+    if cpu is not None and jax.devices()[0] is not cpu:
+        variables = jax.device_put(variables, jax.devices()[0])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = make_optimizer(tc).init(params)
@@ -103,6 +121,154 @@ def stereo_train_step(
         ),
         metrics,
     )
+
+
+def make_stereo_train_step_split(
+    model: StereoNet,
+    cfg: StereoConfig,
+    tc: TrainConfig,
+    mesh=None,
+    depth_weight: float = 1.0,
+):
+    """Split-program train step: three chained XLA programs instead of one
+    monolith.
+
+    The monolithic stereo train step compiles in ~18 min on TPU — the 2D
+    feature extractor fused with the 3D conv stack blows up XLA's schedule
+    search the same way it does for the Vernier model (BENCH.md
+    optimization log #1; inference already splits, inference/refine.py).
+    Training splits along the same seam with manual VJP chaining:
+
+      1. encode:      feats = encoder(enc_params, images)
+      2. head_grads:  loss, d(head_params), d(feats)   [value_and_grad]
+      3. bwd_update:  d(enc_params) via jax.vjp (recomputes the encoder
+                      forward — rematerialization, not waste) + optimizer
+                      update for the whole param tree
+
+    Device arrays flow between programs with no host syncs.  Gradients are
+    exactly those of the fused step (chain rule at the feats boundary).
+    Encoder batch_stats (backbone variants whose stem keeps BatchNorm) are
+    updated by program 1 and carried through; the head itself must be
+    BatchNorm-free (true for cfg.gn, which GroupNorms the 3D/BEV stacks).
+
+    Returns ``step(state, batch) -> (state, metrics)``.
+    """
+    assert cfg.gn, "split training requires a GroupNorm (BatchNorm-free) head"
+    locations = jnp.asarray(bev_locations(cfg))
+    encoder = StereoEncoder(cfg)
+    head = StereoHead(cfg)
+
+    def enc_fwd(enc_params, enc_stats, img_l_u8, img_r_u8):
+        left = normalize_images(img_l_u8)
+        right = normalize_images(img_r_u8)
+        variables = {"params": enc_params}
+        mutable = False
+        if enc_stats:
+            variables["batch_stats"] = enc_stats
+            mutable = ["batch_stats"]
+        res = encoder.apply(variables, left, right, train=True, mutable=mutable)
+        feats, new_vars = res if mutable else (res, {})
+        return feats, new_vars.get("batch_stats", {})
+
+    def head_loss(head_params, feats, P_left, P_right, gt_boxes, gt_valid,
+                  gt_classes, depth_gt):
+        lf, rf, rpn_img = feats
+        out = head.apply(
+            {"params": head_params}, lf, rf, rpn_img, P_left, P_right,
+            train=True,
+        )
+        losses = rpn3d_loss(out, gt_boxes, gt_valid, gt_classes, cfg, locations)
+        dloss = depth_sl1_loss(out["depth"], depth_gt, depth_gt > 0)
+        total = losses["total"] + depth_weight * dloss
+        return total, dict(losses, depth=dloss, total=total)
+
+    def prog_encode(enc_params, enc_stats, batch):
+        return enc_fwd(
+            enc_params, enc_stats, batch["images_left"], batch["images_right"]
+        )
+
+    def prog_head_grads(head_params, feats, batch):
+        (_, losses), (g_head, ct_feats) = jax.value_and_grad(
+            head_loss, argnums=(0, 1), has_aux=True
+        )(
+            head_params, feats, batch["P_left"], batch["P_right"],
+            batch["gt_boxes"], batch["gt_valid"], batch["gt_classes"],
+            batch["depth_gt"],
+        )
+        return losses, g_head, ct_feats
+
+    def prog_bwd_update(state, batch, ct_feats, g_head, new_enc_stats, losses):
+        # rematerialize the encoder forward for its VJP (train-mode
+        # BatchNorm normalizes by batch statistics, so the recomputation is
+        # bit-identical to program 1 and independent of the running stats)
+        enc_stats = (state.batch_stats or {}).get("encoder", {})
+        _, vjp = jax.vjp(
+            lambda p: enc_fwd(
+                p, enc_stats, batch["images_left"], batch["images_right"]
+            )[0],
+            state.params["encoder"],
+        )
+        (g_enc,) = vjp(ct_feats)
+        grads = {"encoder": g_enc, "head": g_head}
+        updates, new_opt = make_optimizer(tc).update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats={"encoder": new_enc_stats}
+            if new_enc_stats
+            else state.batch_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        j_encode = jax.jit(prog_encode)
+        j_grads = jax.jit(prog_head_grads)
+        j_update = jax.jit(prog_bwd_update, donate_argnums=(0,))
+    else:
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        bspec = {
+            k: data
+            for k in (
+                "images_left", "images_right", "P_left", "P_right",
+                "gt_boxes", "gt_valid", "gt_classes", "depth_gt",
+            )
+        }
+        j_encode = jax.jit(
+            prog_encode,
+            in_shardings=(repl, repl, bspec),
+            out_shardings=(data, repl),
+        )
+        j_grads = jax.jit(
+            prog_head_grads, in_shardings=(repl, data, bspec),
+            out_shardings=(repl, repl, data),
+        )
+        j_update = jax.jit(
+            prog_bwd_update,
+            in_shardings=(repl, bspec, data, repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def step(state: TrainState, batch):
+        stats = state.batch_stats or {}
+        assert set(stats.keys()) <= {"encoder"}, (
+            "split stereo training requires a BatchNorm-free head; "
+            f"found batch_stats under {sorted(stats)}"
+        )
+        feats, new_enc_stats = j_encode(
+            state.params["encoder"], stats.get("encoder", {}), batch
+        )
+        losses, g_head, ct_feats = j_grads(state.params["head"], feats, batch)
+        return j_update(state, batch, ct_feats, g_head, new_enc_stats, losses)
+
+    return step
 
 
 def make_stereo_train_step(model: StereoNet, cfg: StereoConfig, tc: TrainConfig,

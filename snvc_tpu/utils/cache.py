@@ -16,8 +16,27 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even when a site plugin pins another platform.
+
+    On this class of host the axon TPU plugin registers itself on import
+    and the env var alone does not win; jax.config must be set too (must
+    run before the backend initializes — a no-op afterwards)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except RuntimeError:
+        pass  # backend already initialized
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
+
+    apply_platform_env()
 
     cache_dir = (
         cache_dir

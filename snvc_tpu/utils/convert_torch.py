@@ -87,25 +87,57 @@ def groupnorm_params(prefix: str, sd: Dict[str, np.ndarray]):
 # ---------------------------------------------------------------------------
 
 
-def _flatten(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Any]]:
+def _flatten(
+    tree, prefix=(), check_order: bool = False
+) -> List[Tuple[Tuple[str, ...], Any]]:
     """Flatten a flax param tree in CREATION order.
 
     flax dicts preserve module-creation order, which for a faithfully
     mirrored architecture equals torch's registration (state_dict) order —
     including interleaved module types (HRNet's stem convs/bns, stages,
     transitions).  Sorting alphabetically here would visit BatchNorm_*
-    before Conv_* and scramble the greedy alignment; the numeric sort is
-    applied only as a tiebreak normalization when the dict arrives
-    unordered (e.g. deserialized checkpoints, detected by keys being in
-    neither creation nor sorted order is impossible — so we keep plain
-    insertion order and rely on live-model trees)."""
+    before Conv_* and scramble the greedy alignment.
+
+    With check_order=True (the greedy-alignment entry point,
+    convert_module), trees that did NOT come from a live model (e.g.
+    deserialized checkpoints, whose keys arrive alphabetically:
+    Conv_10 < Conv_2) are REJECTED rather than silently cross-wired: an
+    alphabetized dict is detectable whenever some module type reaches 10
+    instances, and the greedy shape-matcher would otherwise pair
+    same-shaped tensors to the wrong modules without any error.  (The
+    default skips the check — internal result trees merged in torch-group
+    order legitimately interleave module numbers.)"""
     out = []
     if isinstance(tree, dict):
+        if check_order:
+            _check_creation_order(tree, prefix)
         for k in tree.keys():
-            out.extend(_flatten(tree[k], prefix + (k,)))
+            out.extend(_flatten(tree[k], prefix + (k,), check_order))
     else:
         out.append((prefix, tree))
     return out
+
+
+def _check_creation_order(tree: Dict, prefix: Tuple[str, ...]) -> None:
+    """Raise if sibling auto-numbered module names (Type_0, Type_1, ...)
+    appear with non-monotonic numeric suffixes — the signature of an
+    alphabetically re-sorted (deserialized) tree.  Convert from live-model
+    variables, or re-order the tree, before calling convert_module."""
+    last: Dict[str, int] = {}
+    for k in tree.keys():
+        head, _, tail = k.rpartition("_")
+        if not (head and tail.isdigit()):
+            continue
+        n = int(tail)
+        if head in last and n < last[head]:
+            raise ValueError(
+                f"param tree at {'/'.join(prefix) or '<root>'} is not in "
+                f"module-creation order ({head}_{last[head]} precedes "
+                f"{k}); it was probably deserialized from a checkpoint — "
+                "greedy torch alignment needs a live-model tree "
+                "(init the flax module and convert onto its variables)"
+            )
+        last[head] = n
 
 
 def _module_sort_key(name: str):
@@ -173,7 +205,7 @@ def convert_module(
         return None, None
 
     new_params = {}
-    for path, leaf in _flatten(flax_params):
+    for path, leaf in _flatten(flax_params, check_order=True):
         shape = tuple(np.shape(leaf))
         key = path[-1]
         if key == "kernel":
@@ -203,7 +235,7 @@ def convert_module(
 
     new_stats = {}
     if flax_batch_stats:
-        for path, leaf in _flatten(flax_batch_stats):
+        for path, leaf in _flatten(flax_batch_stats, check_order=True):
             shape = tuple(np.shape(leaf))
             suffix = ".running_mean" if path[-1] == "mean" else ".running_var"
             name, w = take(lambda n: n.endswith(suffix), shape)
@@ -373,6 +405,58 @@ def _merge(dst: Dict, src: Dict):
             _merge(dst.setdefault(k, {}), v)
         else:
             dst[k] = v
+
+
+def torchify_shape(path, shape):
+    """Expected torch tensor shape for a flax leaf (inverse converters)."""
+    if path[-1] == "kernel":
+        if any("ConvTranspose" in p for p in path):
+            return (shape[-2], shape[-1]) + tuple(shape[:-2])
+        if len(shape) >= 3:
+            return (shape[-1], shape[-2]) + tuple(shape[:-2])
+        return (shape[1], shape[0])  # dense
+    return tuple(shape)
+
+
+def fabricate_vernier_state_dict(
+    flax_params: Dict,
+    flax_batch_stats: Optional[Dict] = None,
+    use_part_reg_head: bool = False,
+    use_bbox_head: bool = False,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Build a release-checkpoint-SHAPED random torch state_dict for a live
+    flax VernierScale tree: same module grouping (vimg_feat..hm2,
+    coord_head, bbox_head, feat_net — reference vernier.py:26-56,249-313),
+    torch tensor layouts, torch key suffixes.  Used to exercise the full
+    convert->infer->evaluate harness (tools/validate_epoch80.py --selftest)
+    without the real epoch_80.tar."""
+    rng = rng or np.random.default_rng(0)
+    gm = vernier_group_map(flax_params, use_part_reg_head, use_bbox_head)
+    suffix = {"kernel": "weight", "scale": "weight", "bias": "bias",
+              "mean": "running_mean", "var": "running_var"}
+    sd: Dict[str, np.ndarray] = {}
+    stats = flax_batch_stats or {}
+    for prefix, paths in gm.items():
+        j = 0
+        for root, child in paths:
+            for path, leaf in _flatten(flax_params[root][child]):
+                tshape = torchify_shape((child,) + path, np.shape(leaf))
+                sd[f"{prefix}.{j}.{suffix[path[-1]]}"] = (
+                    rng.standard_normal(tshape).astype(np.float32) * 0.05
+                )
+                j += 1
+            sub_stats = (stats.get(root) or {}).get(child)
+            if sub_stats:
+                for path, leaf in _flatten(sub_stats):
+                    base = 1.0 if path[-1] == "var" else 0.0
+                    sd[f"{prefix}.{j}.{suffix[path[-1]]}"] = (
+                        base
+                        + rng.standard_normal(np.shape(leaf)).astype(np.float32)
+                        * 0.01
+                    )
+                    j += 1
+    return sd
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

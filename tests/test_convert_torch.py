@@ -248,6 +248,32 @@ class TestVernierCheckpointMap:
             np.asarray(got_leaf), np.transpose(src, (2, 3, 1, 0)), atol=0
         )
 
+    def test_alphabetized_tree_rejected(self, rng):
+        """A deserialized (alphabetically re-sorted) param tree must be
+        rejected, not silently cross-wired: Conv_10 sorting before Conv_2
+        breaks the creation-order assumption the greedy aligner needs
+        (utils/convert_torch._flatten)."""
+        from snvc_tpu.utils.convert_torch import _flatten
+
+        scrambled = {
+            f"Conv_{i}": {"kernel": np.zeros((1, 1, 2, 2))}
+            for i in [0, 1, 10, 11, 2, 3]  # alphabetical order of 0..11
+        }
+        with pytest.raises(ValueError, match="creation order"):
+            _flatten(scrambled, check_order=True)
+        # creation order passes
+        ordered = {
+            f"Conv_{i}": {"kernel": np.zeros((1, 1, 2, 2))}
+            for i in range(12)
+        }
+        assert len(_flatten(ordered, check_order=True)) == 12
+        # convert_module (the greedy aligner) rejects scrambled trees too
+        from snvc_tpu.utils.convert_torch import convert_module
+
+        sd = {f"c{i}.weight": np.zeros((1, 1, 2, 2)) for i in range(6)}
+        with pytest.raises(ValueError, match="creation order"):
+            convert_module(sd, scrambled)
+
     def test_missing_group_raises(self, rng):
         from snvc_tpu.config import tiny_vernier_config
         from snvc_tpu.models.vernier import VernierScale
@@ -271,7 +297,18 @@ class TestVernierCheckpointMap:
 
 
 class TestHRNetBackboneParity:
-    def test_hrnet_statedict_converts_with_forward_parity(self, rng):
+    @pytest.mark.parametrize(
+        "backbone",
+        [
+            "hrnet-tiny",
+            # multi-module stages (num_modules 2/3/2, 4 branches): the
+            # release w48/w32 enumeration class — within-stage repeated-
+            # module ordering is exactly what creation-order alignment
+            # must get right (reference hrnet.py:460-500)
+            "hrnet-test-multi",
+        ],
+    )
+    def test_hrnet_statedict_converts_with_forward_parity(self, rng, backbone):
         """A LIVE torch HRNet (registered in the reference's module order:
         conv1, bn1, conv2, bn2, layer1, transition1, stage2, ...,
         tests/torch_hrnet.py) converts onto the flax HRNet by creation-
@@ -283,7 +320,7 @@ class TestHRNetBackboneParity:
         from snvc_tpu.models.hrnet import HRNet
         from tests.torch_hrnet import THRNet
 
-        cfg = BackboneConfig(name="hrnet-tiny")
+        cfg = BackboneConfig(name=backbone)
         tmodel = THRNet(cfg.stages())
         tmodel.eval()
         # nontrivial BN statistics everywhere

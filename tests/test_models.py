@@ -180,12 +180,16 @@ class TestConv3dDecomposition:
             ((3, 3, 3), (2, 2, 2), 1),
             ((3, 3, 3), (2, 1, 1), 1),
             ((1, 1, 1), (1, 1, 1), 1),
+            # even kernel with dilation: (k-1)//2*dil (=0) differs from
+            # ((k-1)*dil)//2 (=1) — pins the uniform torch convention
+            ((2, 2, 2), (1, 1, 1), 3),
         ],
     )
     def test_matches_native_conv3d(self, rng, kernel, stride, dilation):
         """Reference point: native Conv3D with the torch-symmetric padding
-        ((eff-1)//2 per side, = torch Conv3d(pad=k//2*d)); equals SAME at
-        stride 1 and the torch alignment at stride 2."""
+        ((k-1)//2 * dil per side, the same formula as ConvNorm / torch
+        Conv3d(pad=(k-1)//2*d)); equals SAME at stride 1 and the torch
+        alignment at stride 2."""
         from flax import linen as nn
         from snvc_tpu.models.layers import Conv3d
 
@@ -193,7 +197,7 @@ class TestConv3dDecomposition:
         mod = Conv3d(4, kernel, stride, dilation)
         v = mod.init(jax.random.PRNGKey(0), x)
         got = mod.apply(v, x)
-        pad = tuple((((k - 1) * dilation) // 2,) * 2 for k in kernel)
+        pad = tuple(((k - 1) // 2 * dilation,) * 2 for k in kernel)
         ref = nn.Conv(4, kernel, strides=stride, padding=pad,
                       kernel_dilation=(dilation,) * 3, use_bias=False)
         want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
@@ -301,3 +305,61 @@ class TestAddXY:
             {k: p for k, p in v["params"].items() if k == "Conv_0"}
         )[0]
         assert stem_kernel.shape[2] == 5
+
+    def test_roi_xy_maps_are_global_frame(self):
+        """The xy channels must encode the ROI's position in the GLOBAL
+        image ([-1, 1] coords, reference img_proc.generate_xy_map:184-198)
+        — two different crops of the same image get different maps."""
+        from snvc_tpu.geometry.imgproc import crop_affine
+        from snvc_tpu.ops.assemble import roi_xy_maps
+
+        H, W = 384, 1280
+        # crop boxes [cx, cy, size] -> affines mapping source -> 32x32 ROI
+        t1 = crop_affine(np.array([200.0, 100.0]), np.array([128.0, 128.0]), (32, 32))
+        t2 = crop_affine(np.array([900.0, 300.0]), np.array([64.0, 64.0]), (32, 32))
+        maps = np.asarray(
+            roi_xy_maps(np.stack([t1, t2]), (32, 32), (H, W))
+        )
+        assert maps.shape == (2, 32, 32, 2)
+        # ROI center pixel maps to the crop center's global coords
+        c1 = maps[0, 16, 16]
+        np.testing.assert_allclose(
+            c1, [2 * 200.0 / W - 1, 2 * 100.0 / H - 1], atol=0.05
+        )
+        c2 = maps[1, 16, 16]
+        np.testing.assert_allclose(
+            c2, [2 * 900.0 / W - 1, 2 * 300.0 / H - 1], atol=0.05
+        )
+        assert not np.allclose(maps[0], maps[1])
+
+    def test_assemble_appends_xy_channels(self, rng):
+        """With add_xy the assembled ROIs carry 5 channels whose xy halves
+        match roi_xy_maps of the instance's crop affine."""
+        import jax.numpy as jnp
+
+        from snvc_tpu.config import BackboneConfig, tiny_vernier_config
+        from snvc_tpu.ops.assemble import assemble_instances, make_grid_local, roi_xy_maps
+        from snvc_tpu.data.synthetic import synthetic_batch_arrays
+
+        cfg = tiny_vernier_config(
+            backbone=BackboneConfig(name="hrnet-tiny", add_xy=True),
+            image_size=(128, 256),
+        )
+        arrays = synthetic_batch_arrays(cfg, seed=0)
+        left, right, _, _ = assemble_instances(
+            jnp.asarray(arrays["images_left"]),
+            jnp.asarray(arrays["images_right"]),
+            jnp.asarray(arrays["image_idx"]),
+            jnp.asarray(arrays["trans_l"]),
+            jnp.asarray(arrays["trans_r"]),
+            jnp.asarray(arrays["samples"]),
+            jnp.asarray(arrays["P_left"]),
+            jnp.asarray(arrays["P_right"]),
+            jnp.asarray(make_grid_local(cfg)),
+            cfg,
+        )
+        assert left.shape[-1] == 5 and right.shape[-1] == 5
+        want = np.asarray(
+            roi_xy_maps(arrays["trans_l"], cfg.resolution, cfg.image_size)
+        )
+        np.testing.assert_allclose(np.asarray(left[..., 3:]), want, atol=1e-5)

@@ -209,6 +209,55 @@ class TestRegistration:
         assert not bool(np.asarray(upd.keep)[0])
         np.testing.assert_allclose(np.asarray(upd.all_parts)[0], sample, atol=0)
 
+    def test_soft_argmax_decode_matches_argmax_at_sharp_peaks(self, rng):
+        """cfg.ncf_decode='soft-argmax' (reference img_proc.soft_arg_max)
+        must agree with the hard decode when the heatmap peaks are sharp —
+        the exp(relu(h-0.01))-1 weighting zeroes everything at/below the
+        floor, so a narrow gaussian decodes to (nearly) its mode."""
+        from snvc_tpu.ops.heatmaps import soft_argmax_2d_ref
+
+        nw = nl = 33
+        x_range = z_range = (-1.6, 1.6)
+        centers = rng.integers(4, 28, size=(2, 9, 2)).astype(np.float32)
+        ncf = bev_part_heatmaps(jnp.array(centers), (nw, nl), sigma=1)
+        xy_soft, mv = soft_argmax_2d_ref(ncf)
+        xy_hard, _ = hard_argmax_2d(ncf)
+        np.testing.assert_allclose(
+            np.asarray(xy_soft), np.asarray(xy_hard), atol=0.05
+        )
+        sample = np.stack([random_box(rng), random_box(rng)])
+        upd_h = ncf_to_update(ncf, jnp.array(sample), x_range, z_range)
+        upd_s = ncf_to_update(
+            ncf, jnp.array(sample), x_range, z_range, decode="soft-argmax"
+        )
+        np.testing.assert_allclose(
+            np.asarray(upd_s.all_parts), np.asarray(upd_h.all_parts), atol=0.02
+        )
+
+    def test_soft_argmax_recovers_subvoxel_offsets(self, rng):
+        """A fractional-center gaussian decodes to the fractional position
+        under soft-argmax while hard argmax floors to the voxel."""
+        from snvc_tpu.ops.heatmaps import soft_argmax_2d_ref
+
+        centers = np.array([[[10.5, 14.5]]], np.float32)
+        ncf = bev_part_heatmaps(jnp.array(centers), (33, 33), sigma=2,
+                                quantize=False)
+        xy, _ = soft_argmax_2d_ref(ncf)
+        np.testing.assert_allclose(np.asarray(xy)[0, 0], [10.5, 14.5], atol=0.05)
+
+    def test_filter_thresholds_configurable(self, rng):
+        """filter_min/filter_max come from config now; a gate widened to
+        accept the same out-of-range heatmap keeps the update."""
+        sample = random_box(rng)
+        ncf = jnp.full((1, 9, 8, 8), 5.0)
+        upd = ncf_to_update(ncf, jnp.array(sample[None]), (-1.6, 1.6), (-1.6, 1.6))
+        assert not bool(np.asarray(upd.keep)[0])
+        upd_wide = ncf_to_update(
+            ncf, jnp.array(sample[None]), (-1.6, 1.6), (-1.6, 1.6),
+            filter_min=-10.0, filter_max=10.0,
+        )
+        assert bool(np.asarray(upd_wide.keep)[0])
+
     def test_ncf_update_with_coordinates(self, rng):
         """Coordinate-head decode path: normalized coords replace argmax."""
         sample = random_box(rng)

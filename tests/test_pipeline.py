@@ -100,6 +100,38 @@ class TestDataLayer:
         H, W = tiny_cfg.resolution
         assert 0 <= roi_uv[0] <= W and 0 <= roi_uv[1] <= H
 
+    def test_augment_times_replicates_instances(self, kitti_root, tiny_cfg):
+        """cfg.augment_times replicates each GT instance in the DB; every
+        occurrence draws independent perturbation noise at batch build
+        (reference's recovered augment_times semantics, SURVEY.md §5)."""
+        root, _, _ = kitti_root
+        ds = KittiDataset(root, "val")
+        cfg = tiny_cfg.replace(usage="train", augment=True, augment_times=3)
+        db = build_db_from_gt(ds, cfg)
+        base = build_db_from_gt(ds, tiny_cfg)  # usage='inference': no repeat
+        assert len(db) == 3 * len(base)
+        # two occurrences of the same instance get different noise draws
+        pipe = RefinementPipeline(db, cfg.replace(sup_type="synthetic"),
+                                  training=True)
+        batches = list(pipe.batches())
+        samples = np.concatenate([b.samples[b.valid] for b in batches])
+        gts = np.concatenate([b.gt_boxes[b.valid] for b in batches])
+        # group by identical GT rows; perturbed samples must differ
+        seen = {}
+        dup_differs = False
+        for s, g in zip(samples, gts):
+            key = tuple(np.round(g, 6))
+            if key in seen and not np.allclose(seen[key], s):
+                dup_differs = True
+            seen[key] = s
+        assert dup_differs
+
+    def test_native_image_size_reads_png_header(self, kitti_root):
+        root, _, _ = kitti_root
+        ds = KittiDataset(root, "val")
+        sc = ds.scene(0)
+        assert sc.native_image_size() == (375, 1242)
+
     def test_training_batches_have_points(self, kitti_root, tiny_cfg):
         root, _, _ = kitti_root
         ds = KittiDataset(root, "val")

@@ -72,6 +72,57 @@ class TestStereoTraining:
         assert losses[-1] < losses[0], losses
         assert float(m["num_pos"]) > 0
 
+    def test_split_step_matches_monolithic(self, kitti_root):
+        """The three-program split step (the TPU compile-time fix:
+        encoder fwd | head value_and_grad | encoder vjp + update) computes
+        exactly the fused step's gradients — same losses, same updated
+        params, step after step."""
+        from snvc_tpu.training.train_stereo import make_stereo_train_step_split
+
+        cfg = _cfg()
+        tc = TrainConfig(lr=3e-4, warmup_steps=1, total_steps=20, grad_clip=5.0)
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=1, max_gt=8)
+        batch = next(pipe.batches()).arrays()
+        model = StereoNet(cfg)
+        state_s = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        state_m = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        split = make_stereo_train_step_split(model, cfg, tc)
+        mono = make_stereo_train_step(model, cfg, tc)
+        for _ in range(2):
+            state_s, ms = split(state_s, batch)
+            state_m, mm = mono(state_m, batch)
+            np.testing.assert_allclose(
+                float(ms["total"]), float(mm["total"]), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                float(ms["grad_norm"]), float(mm["grad_norm"]), rtol=1e-4
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_s.params),
+            jax.tree_util.tree_leaves(state_m.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
+
+    def test_split_step_on_mesh(self, kitti_root):
+        """Split programs accept the data-parallel mesh shardings."""
+        from snvc_tpu.parallel.api import make_mesh
+        from snvc_tpu.training.train_stereo import make_stereo_train_step_split
+
+        cfg = _cfg()
+        tc = TrainConfig(lr=3e-4, warmup_steps=1, total_steps=20, grad_clip=5.0)
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=2, max_gt=8)
+        batch = next(pipe.batches()).arrays()
+        mesh = make_mesh(n_data=2, n_model=1)
+        model = StereoNet(cfg)
+        state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        step = make_stereo_train_step_split(model, cfg, tc, mesh=mesh)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["total"]))
+
     def test_data_parallel_step_on_mesh(self, kitti_root):
         """The sharded stereo step runs on a data-parallel mesh and matches
         the unsharded step's loss on the same batch."""

@@ -1,0 +1,367 @@
+#!/usr/bin/env python
+"""Full two-stage end-metric demonstration: detect -> refine -> evaluate.
+
+The complete reference pipeline (SURVEY.md §0/§3.4, docs/INFERENCE.md:19-34)
+with BOTH stages trained, on synthetic KITTI:
+
+  1. train the global StereoNet on a synthetic train split
+     (split-program train step; RPN3D + depth losses),
+  2. decode its proposals on a held-out val split (rotated NMS) and score
+     them with the bundled C++ KITTI evaluator -> AP3D(proposals),
+  3. train the Vernier refinement model with synthetic supervision whose
+     perturbation noise matches the measured stage-1 proposal error,
+  4. refine the stage-1 proposals and score -> AP3D(refined).
+
+Success = AP3D(proposals) > 0 (the global model learned detection) and
+AP3D(refined) > AP3D(proposals) (refinement improves the end metric).
+
+Example (TPU, ~30 min after first compiles):
+  python tools/demo_two_stage.py --work_dir /tmp/two_stage \
+      --stereo_steps 1500 --vernier_steps 800
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# expose a CPU backend next to the TPU so parameter init runs host-side
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
+
+def stereo_config(args):
+    from snvc_tpu.config import StereoConfig, tiny_stereo_config
+
+    if args.smoke:
+        # CPU-runnable mechanics check (minutes, AP not meaningful)
+        return tiny_stereo_config(z_max=38.0, max_depth=40.0,
+                                  compute_dtype=args.dtype)
+    # mid-scale: half-resolution input (the loader downscales aspect-
+    # preserving and scales the projection to match), detection range
+    # covering the synthetic boxes (z in 12..35 m)
+    return StereoConfig(
+        backbone="reslike-det-small",
+        input_size=(192, 624),
+        num_depths=48,
+        min_depth=4.0,
+        max_depth=40.0,
+        z_min=4.0,
+        z_max=40.0,
+        x_min=-16.0,
+        x_max=16.0,
+        voxel_x=0.4,
+        voxel_y=0.4,
+        voxel_z=0.4,
+        compute_dtype=args.dtype,
+    )
+
+
+def vernier_config(args, noise_loc, noise_rot_deg):
+    from snvc_tpu.config import BackboneConfig, VernierConfig
+
+    return VernierConfig(
+        backbone=BackboneConfig(name="hrnet-tiny"),
+        grid_resolution=(8, 24, 24) if args.smoke else (8, 48, 48),
+        resolution=(64, 64) if args.smoke else (128, 128),
+        gn_groups=4,
+        max_instances=8,
+        sigma=2,
+        usage="train",
+        sup_type="synthetic",
+        image_size=(384, 1248),
+        std_loc=(noise_loc, 0.05, noise_loc),
+        std_rot=noise_rot_deg,
+        ncf_loss="mse_weighted",
+        rot_aug=True,
+        loc_aug=True,
+        compute_dtype=args.dtype,
+        remat=False,
+    )
+
+
+def train_stereo_stage(args, train_root, log):
+    import time
+
+    import jax
+
+    from snvc_tpu.config import TrainConfig
+    from snvc_tpu.data.kitti import KittiDataset
+    from snvc_tpu.data.stereo_pipeline import StereoPipeline
+    from snvc_tpu.models.stereonet import StereoNet
+    from snvc_tpu.training.train_stereo import (
+        create_stereo_state,
+        make_stereo_train_step_split,
+    )
+
+    cfg = stereo_config(args)
+    tc = TrainConfig(lr=args.stereo_lr, warmup_steps=100,
+                     total_steps=args.stereo_steps)
+    ds = KittiDataset(train_root, "train")
+    pipe = StereoPipeline(ds, cfg, batch_size=args.stereo_batch)
+    model = StereoNet(cfg)
+    state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
+    step_fn = make_stereo_train_step_split(model, cfg, tc)
+    # pre-build all batches once (the synthetic set is small); reuse per epoch
+    batches = [b.arrays() for b in pipe.batches()]
+    log(f"stage 1: {len(ds)} frames, {len(batches)} batches/epoch")
+    step, t0 = 0, time.time()
+    while step < args.stereo_steps:
+        for i, batch in enumerate(batches):
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if step == 1:
+                log(f"first step (compile included): {time.time()-t0:.1f}s")
+            if step % args.log_every == 0:
+                log(
+                    f"stereo step {step}: "
+                    + ", ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                    )
+                )
+            if step >= args.stereo_steps:
+                break
+    return model, state, cfg
+
+
+def detect_stage(args, model, state, cfg, val_root, out_dir, log):
+    import jax
+    import numpy as np
+
+    from snvc_tpu.data.kitti import KittiDataset
+    from snvc_tpu.data.stereo_pipeline import StereoPipeline
+    from snvc_tpu.inference.detect import decode_proposals, proposals_to_kitti
+    from snvc_tpu.models.stereonet import StereoEncoder, StereoHead
+    from snvc_tpu.models.vernier import scope_variables
+    from snvc_tpu.training.train_stereo import normalize_images
+
+    ds = KittiDataset(val_root, "val")
+    pipe = StereoPipeline(ds, cfg, batch_size=1, training=False)
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    encoder, head = StereoEncoder(cfg), StereoHead(cfg)
+    enc_vars = scope_variables(variables, "encoder")
+    head_vars = scope_variables(variables, "head")
+
+    @jax.jit
+    def run_encoder(vars_, b):
+        return encoder.apply(
+            vars_,
+            normalize_images(b["images_left"]),
+            normalize_images(b["images_right"]),
+        )
+
+    @jax.jit
+    def run_head(vars_, feats, b):
+        lf, rf, rpn_img = feats
+        out = head.apply(vars_, lf, rf, rpn_img, b["P_left"], b["P_right"])
+        return decode_proposals(
+            out, cfg, max_boxes=args.max_proposals,
+            score_threshold=args.score_threshold, nms_iou=args.nms_iou,
+        )
+
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    n_total = 0
+    for batch in pipe.batches():
+        b = batch.arrays()
+        boxes, scores, valid = jax.tree.map(
+            np.asarray, run_head(head_vars, run_encoder(enc_vars, b), b)
+        )
+        scene = ds.scene(int(batch.scene_names[0]))
+        lines = proposals_to_kitti(
+            boxes[0], scores[0], valid[0], scene.calibration("left")
+        )
+        n_total += len(lines)
+        with open(os.path.join(data_dir, batch.scene_names[0] + ".txt"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+    log(f"stage 1 proposals: {n_total} over {len(ds)} val frames")
+    return ds
+
+
+def measure_proposal_error(ds, pred_dir, log):
+    """Mean center/rotation error of proposals vs nearest GT (sets the
+    Vernier training noise)."""
+    import numpy as np
+
+    from snvc_tpu.config import VernierConfig
+    from snvc_tpu.data.instance_db import (
+        attach_nearest_gt,
+        build_db_from_predictions,
+    )
+
+    cfg = VernierConfig()
+    db = attach_nearest_gt(
+        build_db_from_predictions(ds, cfg, pred_dir), cfg
+    )
+    d_loc, d_rot = [], []
+    for rec in db:
+        if rec.label is None:
+            continue
+        d_loc.append(
+            float(np.linalg.norm(rec.pred[[3, 5]] - rec.label[[3, 5]]))
+        )
+        dr = (rec.pred[6] - rec.label[6] + np.pi) % (2 * np.pi) - np.pi
+        d_rot.append(abs(float(dr)))
+    if not d_loc:
+        return 0.25, 5.0
+    loc = float(np.mean(d_loc))
+    rot = float(np.degrees(np.mean(d_rot)))
+    log(f"proposal error vs GT: center {loc:.3f} m, yaw {rot:.1f} deg")
+    # gaussian std whose mean |2d offset| matches: mean = sigma*sqrt(pi/2)
+    return max(0.1, loc / 1.25), min(max(3.0, rot), 15.0)
+
+
+def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
+    import jax
+    import numpy as np
+
+    from snvc_tpu.config import TrainConfig
+    from snvc_tpu.data.instance_db import (
+        build_db_from_gt,
+        build_db_from_predictions,
+    )
+    from snvc_tpu.data.kitti import KittiDataset
+    from snvc_tpu.data.pipeline import RefinementPipeline
+    from snvc_tpu.inference.kitti_writer import PredictionWriter
+    from snvc_tpu.inference.refine import RefineRunner
+    from snvc_tpu.models.vernier import VernierScale
+    from snvc_tpu.training.train import create_train_state, make_train_step
+
+    tc = TrainConfig(lr=args.vernier_lr, warmup_steps=50,
+                     total_steps=args.vernier_steps)
+    ds = KittiDataset(train_root, "train")
+    db = build_db_from_gt(ds, vcfg)
+    pipe = RefinementPipeline(db, vcfg, training=True, seed=args.seed)
+    model = VernierScale(vcfg)
+    state = create_train_state(model, vcfg, tc, jax.random.PRNGKey(args.seed))
+    step_fn = make_train_step(model, vcfg, tc)
+    rng = jax.random.PRNGKey(args.seed + 7)
+    step = 0
+    while step < args.vernier_steps:
+        for batch in pipe.batches(shuffle=True):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch.arrays(), sub)
+            step += 1
+            if step % args.log_every == 0:
+                log(
+                    f"vernier step {step}: "
+                    + ", ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                    )
+                )
+            if step >= args.vernier_steps:
+                break
+
+    params = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        params["batch_stats"] = jax.device_get(state.batch_stats)
+    infer_cfg = vcfg.replace(
+        usage="inference", sup_type="real", augment=False,
+        pred_type=("one_part", "all_parts"),
+    )
+    vds = KittiDataset(val_root, "val")
+    vdb = build_db_from_predictions(vds, infer_cfg, pred_dir)
+    vpipe = RefinementPipeline(vdb, infer_cfg, training=False, load_lidar=False)
+    runner = RefineRunner(model, params, infer_cfg)
+    writer = PredictionWriter(infer_cfg)
+    runner.run(vpipe, writer=writer, progress=False)
+    writer.write(out_dir)
+    return vds
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--work_dir", default="/tmp/two_stage")
+    p.add_argument("--train_frames", type=int, default=64)
+    p.add_argument("--val_frames", type=int, default=16)
+    p.add_argument("--boxes_per_frame", type=int, default=3)
+    p.add_argument("--stereo_steps", type=int, default=1500)
+    p.add_argument("--stereo_lr", type=float, default=3e-4)
+    p.add_argument("--stereo_batch", type=int, default=1)
+    p.add_argument("--vernier_steps", type=int, default=800)
+    p.add_argument("--vernier_lr", type=float, default=1e-3)
+    p.add_argument("--max_proposals", type=int, default=8)
+    p.add_argument("--score_threshold", type=float, default=0.1)
+    p.add_argument("--nms_iou", type=float, default=0.25)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny CPU-runnable mechanics check (AP not meaningful)")
+    args = p.parse_args()
+
+    from snvc_tpu.data.synthetic import make_synthetic_kitti
+    from snvc_tpu.eval.kitti_ap import run_kitti_eval
+    from snvc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    def log(msg):
+        print(msg, flush=True)
+
+    train_root = os.path.join(args.work_dir, "kitti_train")
+    val_root = os.path.join(args.work_dir, "kitti_val")
+    make_synthetic_kitti(train_root, args.train_frames, args.boxes_per_frame,
+                         seed=args.seed, split="train")
+    make_synthetic_kitti(val_root, args.val_frames, args.boxes_per_frame,
+                         seed=args.seed + 1000, split="val")
+
+    # ---- stage 1: train + detect + score --------------------------------
+    smodel, sstate, scfg = train_stereo_stage(args, train_root, log)
+    prop_res = os.path.join(args.work_dir, "proposals")
+    vds = detect_stage(args, smodel, sstate, scfg, val_root, prop_res, log)
+    gt_dir = vds.label_dir
+    ap_prop = run_kitti_eval(gt_dir, prop_res)
+    p3 = ap_prop["car"]["detection_3d"]["ap40"]
+    pb = ap_prop["car"]["detection_ground"]["ap40"]
+    log(f"AP3D(proposals)  e/m/h: {p3}")
+    log(f"APBEV(proposals) e/m/h: {pb}")
+
+    # ---- stage 2: train vernier with matched noise, refine, score -------
+    noise_loc, noise_rot = measure_proposal_error(
+        vds, os.path.join(prop_res, "data"), log
+    )
+    vcfg = vernier_config(args, noise_loc, noise_rot)
+    refined_dir = os.path.join(args.work_dir, "refined")
+    train_and_refine(args, vcfg, train_root, val_root,
+                     os.path.join(prop_res, "data"), refined_dir, log)
+
+    result = {
+        "ap3d_proposals": p3,
+        "apbev_proposals": pb,
+        "stereo_steps": args.stereo_steps,
+        "vernier_steps": args.vernier_steps,
+        "proposal_noise_loc_m": noise_loc,
+        "proposal_noise_rot_deg": noise_rot,
+    }
+    best = None
+    for t in ("one_part", "all_parts"):
+        d = os.path.join(refined_dir, t)
+        if not os.path.isdir(d):
+            continue
+        ap_ref = run_kitti_eval(gt_dir, d)
+        r3 = ap_ref["car"]["detection_3d"]["ap40"]
+        result[f"ap3d_refined_{t}"] = r3
+        result[f"apbev_refined_{t}"] = ap_ref["car"]["detection_ground"]["ap40"]
+        log(f"AP3D(refined/{t}) e/m/h: {r3}")
+        if best is None or r3[1] > best:
+            best = r3[1]
+    result["ap3d_moderate_proposals"] = p3[1]
+    result["ap3d_moderate_refined_best"] = best
+    result["lift_3d_moderate"] = round((best or 0.0) - p3[1], 2)
+    print(json.dumps(result))
+    with open(os.path.join(args.work_dir, "two_stage.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    ok = p3[1] > 0 and best is not None and best > p3[1]
+    if not ok:
+        print("WARNING: two-stage success criteria not met", file=sys.stderr)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

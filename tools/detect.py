@@ -36,7 +36,8 @@ def main():
     from snvc_tpu.data.kitti import KittiDataset
     from snvc_tpu.data.stereo_pipeline import StereoPipeline
     from snvc_tpu.inference.detect import decode_proposals, proposals_to_kitti
-    from snvc_tpu.models.stereonet import StereoNet
+    from snvc_tpu.models.stereonet import StereoEncoder, StereoHead, StereoNet
+    from snvc_tpu.models.vernier import scope_variables
     from snvc_tpu.training.train import load_checkpoint
     from snvc_tpu.training.train_stereo import normalize_images
     from snvc_tpu.utils import Experimenter, enable_compilation_cache
@@ -44,7 +45,6 @@ def main():
     enable_compilation_cache()
     exp = Experimenter(args.model_dir)
     cfg = exp.config if isinstance(exp.config, StereoConfig) else exp.config.stereo
-    model = StereoNet(cfg)
     tree, step = load_checkpoint(exp.checkpoint_dir)
     variables = {"params": tree["params"]}
     if tree.get("batch_stats"):
@@ -54,19 +54,35 @@ def main():
     ds = KittiDataset(args.data_path, args.split)
     pipe = StereoPipeline(ds, cfg, batch_size=1, training=False)
 
+    # two chained XLA programs (encoder | head+decode): params passed as
+    # arguments (closed-over arrays bake into the HLO as constants and
+    # defeat the persistent compile cache), split along the same seam as
+    # training to keep TPU compile time in minutes
+    encoder = StereoEncoder(cfg)
+    head = StereoHead(cfg)
+
     @jax.jit
-    def forward(b):
-        out = model.apply(
-            variables,
+    def run_encoder(vars_, b):
+        return encoder.apply(
+            vars_,
             normalize_images(b["images_left"]),
             normalize_images(b["images_right"]),
-            b["P_left"],
-            b["P_right"],
         )
+
+    @jax.jit
+    def run_head(vars_, feats, b):
+        lf, rf, rpn_img = feats
+        out = head.apply(vars_, lf, rf, rpn_img, b["P_left"], b["P_right"])
         return decode_proposals(
             out, cfg, max_boxes=args.max_boxes,
             score_threshold=args.score_threshold, nms_iou=args.nms_iou,
         )
+
+    enc_vars = scope_variables(variables, "encoder")
+    head_vars = scope_variables(variables, "head")
+
+    def forward(b):
+        return run_head(head_vars, run_encoder(enc_vars, b), b)
 
     out_data = os.path.join(args.output_dir, "data")
     os.makedirs(out_data, exist_ok=True)

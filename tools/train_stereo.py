@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# expose a CPU backend next to the TPU so parameter init runs host-side
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -25,6 +29,14 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument(
+        "--monolithic", action="store_true",
+        help="single fused train program (~18 min first compile on TPU); "
+        "default is the 3-program split step (compiles in minutes, "
+        "identical gradients)",
+    )
+    p.add_argument("--max_frames", type=int, default=None,
+                   help="cap the number of training frames (synthetic demos)")
     args = p.parse_args()
 
     import jax
@@ -38,6 +50,7 @@ def main():
     from snvc_tpu.training.train_stereo import (
         create_stereo_state,
         make_stereo_train_step,
+        make_stereo_train_step_split,
     )
     from snvc_tpu.utils import Experimenter, enable_compilation_cache
 
@@ -52,12 +65,18 @@ def main():
     metrics_out = exp.metrics_writer()
 
     ds = KittiDataset(args.data_path, args.split)
+    if args.max_frames is not None:
+        ds.indices = ds.indices[: args.max_frames]
     pipe = StereoPipeline(ds, cfg, batch_size=args.batch_size)
     model = StereoNet(cfg)
     state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
     n_dev = len(jax.devices())
     mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
-    step_fn = make_stereo_train_step(model, cfg, tc, mesh=mesh)
+    make_fn = (
+        make_stereo_train_step if (args.monolithic or not cfg.gn)
+        else make_stereo_train_step_split
+    )
+    step_fn = make_fn(model, cfg, tc, mesh=mesh)
 
     step = 0
     while step < tc.total_steps:
