@@ -113,6 +113,21 @@ class StereoHead(nn.Module):
     def __call__(self, lf, rf, rpn_img, P_left, P_right, train: bool = False):
         cfg = self.cfg
         dt = self.dtype
+        # fail fast on geometry the two-level hourglasses cannot round-trip
+        # (stride-2 down twice + deconv up twice needs divisibility by 4)
+        nz_, nx_ = cfg.bev_size
+        for name, v in (
+            ("num_depths", cfg.num_depths),
+            ("feature height (input_size[0]/4)", lf.shape[1]),
+            ("feature width (input_size[1]/4)", lf.shape[2]),
+            ("BEV nz ((z_max-z_min)/voxel_z)", nz_),
+            ("BEV nx ((x_max-x_min)/voxel_x)", nx_),
+        ):
+            if v % 4 != 0:
+                raise ValueError(
+                    f"StereoConfig: {name} = {v} must be divisible by 4 "
+                    "(two-level hourglass down/up round-trip)"
+                )
         depths = jnp.asarray(depth_hypotheses(cfg))
         # disparity (in feature pixels) per depth plane: disp = f*B / z / 4
         # with B = b_x(right) - b_x(left) > 0 and b_x = P[0,3] / (-f)

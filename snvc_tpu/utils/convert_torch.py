@@ -407,6 +407,53 @@ def _merge(dst: Dict, src: Dict):
             dst[k] = v
 
 
+def abstract_init(model, *args, rng_seed: int = 0, **kwargs):
+    """Creation-order, shape-only variables template via one abstract trace.
+
+    Conversion needs a LIVE-ordered flax tree, but every convenient way of
+    building one at scale destroys the order or the budget:
+
+      * ``jax.jit(model.init)`` / ``lazy_init`` return pytrees whose dicts
+        are rebuilt with SORTED keys (Conv_10 < Conv_2) at the jit
+        boundary — the exact cross-wiring hazard _check_creation_order
+        rejects,
+      * plain eager ``model.init`` preserves order but executes the whole
+        forward op-by-op (minutes for the tiny config on CPU, hours at
+        release scale).
+
+    This records the flax insertion order from INSIDE a ``jax.eval_shape``
+    trace (where the dict is still creation-ordered, no compute, no
+    compile) and reorders the abstract result.  Leaves are
+    ShapeDtypeStructs — exactly what the torch converters need (they read
+    only ``np.shape`` and fill every value from the checkpoint).
+    """
+    import jax
+
+    order: Dict[Tuple[str, ...], List[str]] = {}
+
+    def record(tree, path=()):
+        if isinstance(tree, dict):
+            order[path] = list(tree.keys())
+            for k in tree:
+                record(tree[k], path + (k,))
+
+    def f(rng):
+        v = model.init(rng, *args, **kwargs)
+        if hasattr(v, "unfreeze"):  # FrozenDict-era flax
+            v = v.unfreeze()
+        record(v)
+        return v
+
+    shapes = jax.eval_shape(f, jax.random.PRNGKey(rng_seed))
+
+    def reorder(tree, path=()):
+        if not isinstance(tree, dict):
+            return tree
+        return {k: reorder(tree[k], path + (k,)) for k in order[path]}
+
+    return reorder(shapes)
+
+
 def torchify_shape(path, shape):
     """Expected torch tensor shape for a flax leaf (inverse converters)."""
     if path[-1] == "kernel":

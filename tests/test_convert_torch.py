@@ -248,6 +248,34 @@ class TestVernierCheckpointMap:
             np.asarray(got_leaf), np.transpose(src, (2, 3, 1, 0)), atol=0
         )
 
+    def test_abstract_init_matches_eager_order_and_shapes(self):
+        """abstract_init must reproduce the eager init's creation order and
+        shapes with no compute — jit/lazy_init trees come back
+        alphabetized (jax pytree dicts sort keys), which the converter
+        rejects; this is the scale-safe template path."""
+        import jax
+        import jax.numpy as jnp
+
+        from snvc_tpu.config import BackboneConfig
+        from snvc_tpu.models.hrnet import HRNet
+        from snvc_tpu.utils.convert_torch import _flatten, abstract_init
+
+        model = HRNet(BackboneConfig(name="hrnet-tiny"), head_type="default")
+        x = jnp.zeros((1, 32, 32, 3))
+        eager = model.init(jax.random.PRNGKey(0), x)
+        template = abstract_init(model, x)
+        for col in eager:
+            e = _flatten(eager[col], check_order=True)
+            t = _flatten(template[col], check_order=True)
+            assert [p for p, _ in e] == [p for p, _ in t]
+            for (_, le), (_, lt) in zip(e, t):
+                assert tuple(np.shape(le)) == tuple(np.shape(lt))
+        # the jit tree really is alphabetized (the hazard is real)
+        jit_tree = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        jit_keys = [p for p, _ in _flatten(jit_tree["params"])]
+        eager_keys = [p for p, _ in _flatten(eager["params"])]
+        assert jit_keys != eager_keys
+
     def test_alphabetized_tree_rejected(self, rng):
         """A deserialized (alphabetically re-sorted) param tree must be
         rejected, not silently cross-wired: Conv_10 sorting before Conv_2

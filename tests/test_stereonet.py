@@ -156,6 +156,57 @@ class TestFrustum:
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+class TestProposalRoundTrip:
+    def test_ideal_outputs_decode_to_gt(self):
+        """Encode->decode fidelity: RPN outputs fabricated exactly from the
+        target assigner (labels/reg/centerness) must decode back to the GT
+        boxes — pins the corner layout, angle-bin slicing, anchor add, and
+        heading conventions between stereo_losses.assign_targets and
+        inference.detect.decode_proposals."""
+        from snvc_tpu.inference.detect import decode_proposals
+        from snvc_tpu.models.stereo_losses import assign_targets
+        from snvc_tpu.models.stereonet import bev_locations
+
+        cfg = tiny_stereo_config(z_max=38.0, max_depth=40.0)
+        loc = jnp.asarray(bev_locations(cfg))
+        A, K = cfg.num_angles, cfg.num_classes
+        gt = jnp.asarray(
+            np.array(
+                [
+                    [1.5, 1.7, 3.9, 1.2, 1.62, 21.0, 0.7],
+                    [1.45, 1.6, 3.6, -3.0, 1.66, 14.0, -2.2],
+                ],
+                np.float32,
+            )
+        )
+        labels, reg_t, ctr = assign_targets(
+            loc, jnp.asarray(cfg.anchors_y), gt,
+            jnp.array([True, True]), jnp.array([0, 0]), K,
+            jnp.asarray(cfg.anchor_angles[:A]),
+        )
+        L = loc.shape[0]
+        nz, nx = cfg.bev_size
+        out = dict(
+            cls=jnp.where(labels > 0, 8.0, -8.0).reshape(1, nz, nx, A * K),
+            reg=jnp.broadcast_to(
+                reg_t[:, None, :, :], (L, A, K, 24)
+            ).reshape(1, nz, nx, A * K * 24),
+            centerness=jnp.where(labels.sum(-1) > 0, 8.0, -8.0).reshape(
+                1, nz, nx, A
+            ),
+        )
+        boxes, scores, valid = jax.tree.map(
+            np.asarray,
+            decode_proposals(out, cfg, max_boxes=8, score_threshold=0.5,
+                             nms_iou=0.25),
+        )
+        kept = boxes[0][valid[0]]
+        assert len(kept) == 2
+        for g in np.asarray(gt):
+            d = np.linalg.norm(kept - g[None], axis=1)
+            np.testing.assert_allclose(kept[d.argmin()], g, atol=1e-3)
+
+
 class TestStereoNet:
     def test_output_shapes(self, stereo_out):
         cfg, out = stereo_out

@@ -42,19 +42,23 @@ def stereo_config(args):
     # mid-scale: half-resolution input (the loader downscales aspect-
     # preserving and scales the projection to match), detection range
     # covering the synthetic boxes (z in 12..35 m)
+    # full input resolution (depth precision through the cost volume is
+    # resolution-bound), BEV cropped to where the synthetic boxes live
+    # (z 12..35 m, |x| <= ~0.125*z); all grid sizes divide by 4
+    # (two-level hourglasses): features 96x312, depth 64, BEV 180x120
     return StereoConfig(
         backbone="reslike-det-small",
-        input_size=(192, 624),
-        num_depths=48,
+        input_size=(384, 1248),
+        num_depths=64,
         min_depth=4.0,
         max_depth=40.0,
         z_min=4.0,
         z_max=40.0,
-        x_min=-16.0,
-        x_max=16.0,
-        voxel_x=0.4,
-        voxel_y=0.4,
-        voxel_z=0.4,
+        x_min=-12.0,
+        x_max=12.0,
+        voxel_x=0.2,
+        voxel_y=0.2,
+        voxel_z=0.2,
         compute_dtype=args.dtype,
     )
 
@@ -204,7 +208,10 @@ def measure_proposal_error(ds, pred_dir, log):
         d_loc.append(
             float(np.linalg.norm(rec.pred[[3, 5]] - rec.label[[3, 5]]))
         )
-        dr = (rec.pred[6] - rec.label[6] + np.pi) % (2 * np.pi) - np.pi
+        # mod pi: a heading flip leaves the footprint (and BEV/3D IoU)
+        # unchanged, and the refinement grid is centered on the proposal's
+        # own frame — only the orientation error matters for noise matching
+        dr = (rec.pred[6] - rec.label[6] + np.pi / 2) % np.pi - np.pi / 2
         d_rot.append(abs(float(dr)))
     if not d_loc:
         return 0.25, 5.0

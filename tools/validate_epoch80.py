@@ -60,38 +60,35 @@ def release_config(args):
 
 
 def convert(args, cfg, state_dict, log):
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from snvc_tpu.models.vernier import VernierScale
-    from snvc_tpu.utils.convert_torch import convert_vernier_checkpoint
+    from snvc_tpu.utils.convert_torch import (
+        abstract_init,
+        convert_vernier_checkpoint,
+    )
 
     use_part_reg = any(k.startswith("part_reg_head.") for k in state_dict)
     use_bbox = any(k.startswith("bbox_head.") for k in state_dict)
     cfg = cfg.replace(use_part_reg_head=use_part_reg, use_bbox_head=use_bbox)
     log(f"detected heads: part_reg={use_part_reg}, bbox={use_bbox}")
 
-    import contextlib
-
     model = VernierScale(cfg)
     H, W = cfg.resolution
     P = int(np.prod(cfg.grid_resolution))
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
-            jnp.zeros((1, P, 2)), jnp.zeros((1, P, 2)),
-        )
+    # creation-order shape template with NO compute (jit init would return
+    # an alphabetized tree and eager init takes hours at release scale);
+    # every value is filled from the checkpoint
+    variables = abstract_init(
+        model,
+        jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, P, 2)), jnp.zeros((1, P, 2)),
+    )
     params, stats = convert_vernier_checkpoint(
         state_dict,
-        jax.device_get(variables["params"]),
-        jax.device_get(variables.get("batch_stats", {})),
+        variables["params"],
+        variables.get("batch_stats", {}),
         use_part_reg_head=use_part_reg,
         use_bbox_head=use_bbox,
     )
@@ -158,13 +155,15 @@ def selftest(args, log):
     import numpy as np
     import torch
 
-    import jax
     import jax.numpy as jnp
 
     from snvc_tpu.config import tiny_vernier_config
     from snvc_tpu.data.synthetic import make_synthetic_kitti, write_predictions
     from snvc_tpu.models.vernier import VernierScale
-    from snvc_tpu.utils.convert_torch import fabricate_vernier_state_dict
+    from snvc_tpu.utils.convert_torch import (
+        abstract_init,
+        fabricate_vernier_state_dict,
+    )
 
     work = args.work_dir
     os.makedirs(work, exist_ok=True)
@@ -172,18 +171,19 @@ def selftest(args, log):
         usage="inference", sup_type="real", max_instances=4,
         image_size=(384, 1248), pred_type=("one_part", "all_parts"),
     )
-    # fabricate a release-shaped checkpoint tar from a live tree
+    # fabricate a release-shaped checkpoint tar from a creation-order
+    # shape template (fabrication also needs only torch-layout shapes)
     model = VernierScale(cfg)
     H, W = cfg.resolution
     P = int(np.prod(cfg.grid_resolution))
-    variables = model.init(
-        jax.random.PRNGKey(0),
+    variables = abstract_init(
+        model,
         jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
         jnp.zeros((1, P, 2)), jnp.zeros((1, P, 2)),
     )
     sd = fabricate_vernier_state_dict(
-        jax.device_get(variables["params"]),
-        jax.device_get(variables.get("batch_stats", {})),
+        variables["params"],
+        variables.get("batch_stats", {}),
     )
     tar = os.path.join(work, "fake_epoch_80.tar")
     torch.save({"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}},
