@@ -55,13 +55,30 @@ def random_car_box(rng: np.random.Generator) -> np.ndarray:
     )
 
 
+def _face_texture(box_idx: int, face_idx: int, size: int = 64) -> np.ndarray:
+    """Deterministic per-(box, face) speckle texture [size, size].
+
+    Seeded by identity, NOT by view — both cameras warp the SAME canonical
+    pattern through their own projections of the face, so the texture is
+    geometrically consistent across the stereo pair (the correspondence
+    signal plane-sweep matching needs; flat-shaded faces are textureless
+    and leave depth underdetermined inside the face)."""
+    trng = np.random.default_rng(box_idx * 1000003 + face_idx * 97 + 13)
+    t = trng.uniform(0.55, 1.45, size=(size // 4, size // 4))
+    t = np.kron(t, np.ones((4, 4)))  # 4-px blocks: survives downscale
+    t += trng.uniform(-0.12, 0.12, size=(size, size))
+    return t
+
+
 def render_scene(boxes3d: np.ndarray, calib: Calibration, rng) -> np.ndarray:
-    """Shaded-cuboid rendering over a smooth background.
+    """Textured-cuboid rendering over a smooth background.
 
     Faces are rasterized as true projected convex quads (crisp oriented
     edges at the exact 3D pose — the signal a refinement model must read),
-    back-face culled via the outward normal, with distinct per-face
-    lambertian-ish shading and darker wireframe edges."""
+    back-face culled via the outward normal, lambertian-ish shaded, and
+    modulated by a per-face canonical texture warped through the quad
+    homography — identical in both views, so stereo matching is
+    well-posed everywhere on the face, not only at its edges."""
     import cv2
 
     yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
@@ -79,6 +96,10 @@ def render_scene(boxes3d: np.ndarray, calib: Calibration, rng) -> np.ndarray:
         (0, 2, 6, 4),  # top
         (1, 3, 7, 5),  # bottom
     ]
+    TS = 64
+    tex_corners = np.array(
+        [[0, 0], [TS - 1, 0], [TS - 1, TS - 1], [0, TS - 1]], np.float32
+    )
     for bi in order:
         box = boxes3d[bi]
         corners = gbox.box_corners_cam(box)  # [8, 3]
@@ -99,7 +120,21 @@ def render_scene(boxes3d: np.ndarray, calib: Calibration, rng) -> np.ndarray:
             lam = 0.55 + 0.45 * max(0.0, float(np.dot(nn, [0.3, -0.8, -0.52])))
             shade = np.clip(base * lam * (0.85 + 0.06 * fi), 0, 255)
             poly = np.round(uv[list(f)]).astype(np.int32)
-            cv2.fillConvexPoly(img, poly, (shade, shade * 1.04, shade * 0.96))
+            # warp the canonical texture through the quad homography: the
+            # same world-anchored pattern lands at each view's projection
+            H = cv2.getPerspectiveTransform(
+                tex_corners, uv[list(f)].astype(np.float32)
+            )
+            tex = cv2.warpPerspective(
+                _face_texture(bi, fi, TS).astype(np.float32), H,
+                (IMG_W, IMG_H), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=1.0,
+            )
+            mask = np.zeros((IMG_H, IMG_W), np.uint8)
+            cv2.fillConvexPoly(mask, poly, 1)
+            m = mask.astype(bool)
+            val = np.clip(shade * tex[m], 0, 255)
+            img[m] = np.stack([val, val * 1.04, val * 0.96], axis=-1)
             cv2.polylines(img, [poly], True,
                           (shade * 0.4, shade * 0.4, shade * 0.4), 1)
     img += rng.normal(size=img.shape) * 4.0

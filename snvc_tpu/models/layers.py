@@ -137,6 +137,13 @@ class Conv3d(nn.Module):
         y[:, d] = sum_dz conv2d(x[:, d*sd + dz*dil - pad], w[dz])
     with flax-SAME padding semantics on every axis.  The parameter keeps
     the standard [kd, kh, kw, I, O] kernel layout.
+
+    ``fold_depth`` selects a second exact formulation for unit depth
+    stride: the kd shifted depth slices are concatenated on the CHANNEL
+    axis and a SINGLE conv2d with kd*C input channels computes the sum —
+    one big MXU matmul instead of kd small-C ones (C=32 leaves 3/4 of the
+    128-wide MXU idle; kd*C=96..224 fills it).  "auto" enables it when
+    sd==1 and kd*C is MXU-friendly.
     """
 
     features: int
@@ -145,6 +152,7 @@ class Conv3d(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     dtype: Optional[Dtype] = None
+    fold_depth: str = "auto"  # "auto" | "never" | "always"
 
     @nn.compact
     def __call__(self, x):
@@ -161,6 +169,18 @@ class Conv3d(nn.Module):
         dt = self.dtype or x.dtype
         w = w.astype(dt)
         x = x.astype(dt)
+        # auto-fold bounds: C < 128 (wider inputs already fill the MXU) and
+        # kd*C <= 256 (folding duplicates the volume kd-fold in HBM; large
+        # products pay more in traffic than they gain in MXU occupancy)
+        fold = self.fold_depth == "always" or (
+            self.fold_depth == "auto"
+            and sd == 1
+            and kd > 1
+            and C < 128
+            and kd * C <= 256
+        )
+        if fold:
+            return self._fold_depth_conv(x, w, dt)
         # torch-symmetric padding along depth: (k-1)//2 * dilation per side,
         # the same formula as ConvNorm (equals flax-SAME at stride 1; at
         # stride 2 flax-SAME pads (0, 1) which misaligns converted torch
@@ -197,6 +217,39 @@ class Conv3d(nn.Module):
             out = out + b.astype(dt)
         Ho, Wo = out.shape[1], out.shape[2]
         return out.reshape(N, Do, Ho, Wo, self.features)
+
+    def _fold_depth_conv(self, x, w, dt):
+        """Exact sd==1 formulation: kd depth-shifted slices concatenated on
+        channels, one conv2d with [kh, kw, kd*C, O] kernel."""
+        kd, kh, kw = self.kernel
+        _, sh, sw = self.stride
+        dil = self.dilation
+        N, D, H, W, C = x.shape
+        pad_d = (kd - 1) // 2 * dil
+        eff_kd = (kd - 1) * dil + 1
+        Do = D + 2 * pad_d - eff_kd + 1
+        xp = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
+        folded = jnp.concatenate(
+            [xp[:, dz * dil : dz * dil + Do] for dz in range(kd)], axis=-1
+        )  # [N, Do, H, W, kd*C]
+        # [kd, kh, kw, C, O] -> [kh, kw, kd*C, O] matching the channel concat
+        wk = jnp.moveaxis(w, 0, 2).reshape(kh, kw, kd * C, self.features)
+        pad_h = (kh - 1) // 2 * dil
+        pad_w = (kw - 1) // 2 * dil
+        out = jax.lax.conv_general_dilated(
+            folded.reshape(N * Do, H, W, kd * C),
+            wk,
+            (sh, sw),
+            ((pad_h, pad_h), (pad_w, pad_w)),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            out = out + b.astype(dt)
+        Ho, Wo = out.shape[1], out.shape[2]
+        return out.reshape(N, Do, Ho, Wo, self.features).astype(dt)
 
 
 class ConvNorm3d(nn.Module):

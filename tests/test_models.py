@@ -185,16 +185,18 @@ class TestConv3dDecomposition:
             ((2, 2, 2), (1, 1, 1), 3),
         ],
     )
-    def test_matches_native_conv3d(self, rng, kernel, stride, dilation):
+    @pytest.mark.parametrize("fold", ["never", "auto"])
+    def test_matches_native_conv3d(self, rng, kernel, stride, dilation, fold):
         """Reference point: native Conv3D with the torch-symmetric padding
         ((k-1)//2 * dil per side, the same formula as ConvNorm / torch
         Conv3d(pad=(k-1)//2*d)); equals SAME at stride 1 and the torch
-        alignment at stride 2."""
+        alignment at stride 2.  Covers both the per-depth-tap and the
+        channel-folded (single big conv2d) formulations."""
         from flax import linen as nn
         from snvc_tpu.models.layers import Conv3d
 
         x = jnp.asarray(rng.standard_normal((2, 8, 10, 12, 6)), jnp.float32)
-        mod = Conv3d(4, kernel, stride, dilation)
+        mod = Conv3d(4, kernel, stride, dilation, fold_depth=fold)
         v = mod.init(jax.random.PRNGKey(0), x)
         got = mod.apply(v, x)
         pad = tuple(((k - 1) // 2 * dilation,) * 2 for k in kernel)

@@ -100,6 +100,8 @@ def train_stereo_stage(args, train_root, log):
         make_stereo_train_step_split,
     )
 
+    from snvc_tpu.training.train import load_checkpoint, save_checkpoint
+
     cfg = stereo_config(args)
     tc = TrainConfig(lr=args.stereo_lr, warmup_steps=100,
                      total_steps=args.stereo_steps)
@@ -107,6 +109,16 @@ def train_stereo_stage(args, train_root, log):
     pipe = StereoPipeline(ds, cfg, batch_size=args.stereo_batch)
     model = StereoNet(cfg)
     state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
+    ckpt_dir = os.path.join(args.work_dir, "stereo_ckpt")
+    if args.reuse_stereo and os.path.isdir(ckpt_dir):
+        tree, step0 = load_checkpoint(ckpt_dir, state)
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats") or {},
+            opt_state=tree["opt_state"],
+        )
+        log(f"reusing stage-1 checkpoint at step {step0}")
+        return model, state, cfg
     step_fn = make_stereo_train_step_split(model, cfg, tc)
     # pre-build all batches once (the synthetic set is small); reuse per epoch
     batches = [b.arrays() for b in pipe.batches()]
@@ -127,6 +139,7 @@ def train_stereo_stage(args, train_root, log):
                 )
             if step >= args.stereo_steps:
                 break
+    save_checkpoint(ckpt_dir, state, cfg, step)
     return model, state, cfg
 
 
@@ -299,6 +312,9 @@ def main():
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU-runnable mechanics check (AP not meaningful)")
+    p.add_argument("--reuse_stereo", action="store_true",
+                   help="load work_dir/stereo_ckpt instead of retraining "
+                   "stage 1 (iterating on detection/refinement)")
     args = p.parse_args()
 
     from snvc_tpu.data.synthetic import make_synthetic_kitti
