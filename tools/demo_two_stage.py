@@ -296,16 +296,18 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--work_dir", default="/tmp/two_stage")
-    p.add_argument("--train_frames", type=int, default=64)
+    p.add_argument("--train_frames", type=int, default=192)
     p.add_argument("--val_frames", type=int, default=16)
     p.add_argument("--boxes_per_frame", type=int, default=3)
-    p.add_argument("--stereo_steps", type=int, default=1500)
+    p.add_argument("--stereo_steps", type=int, default=6000)
     p.add_argument("--stereo_lr", type=float, default=3e-4)
     p.add_argument("--stereo_batch", type=int, default=1)
-    p.add_argument("--vernier_steps", type=int, default=800)
+    p.add_argument("--vernier_steps", type=int, default=1500)
     p.add_argument("--vernier_lr", type=float, default=1e-3)
     p.add_argument("--max_proposals", type=int, default=8)
-    p.add_argument("--score_threshold", type=float, default=0.1)
+    # AP is a ranking metric: a low threshold only adds low-score FPs but
+    # raises the recall ceiling (freshly trained detectors score ~0.05-0.3)
+    p.add_argument("--score_threshold", type=float, default=0.02)
     p.add_argument("--nms_iou", type=float, default=0.25)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
