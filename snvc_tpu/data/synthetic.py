@@ -205,13 +205,37 @@ def make_synthetic_kitti(
     boxes_per_frame: int = 3,
     seed: int = 0,
     split: str = "val",
+    reuse: bool = True,
 ) -> List[np.ndarray]:
     """Write a synthetic KITTI tree under ``root``; returns per-frame GT
-    box arrays."""
+    box arrays.
+
+    With ``reuse`` (default), a complete existing tree of the same frame
+    count is loaded back instead of re-rendered — big train sets (the
+    streaming-regime detection runs use thousands of frames at ~1 s/frame
+    render cost) survive across invocations.  Pass reuse=False after
+    changing the renderer."""
     import cv2
 
-    rng = np.random.default_rng(seed)
     base = os.path.join(root, "training")
+    split_file = os.path.join(root, split + ".txt")
+    if reuse and os.path.isfile(split_file):
+        names = [ln.strip() for ln in open(split_file) if ln.strip()]
+        last = names[-1] if names else ""
+        if len(names) == num_frames and os.path.isfile(
+            os.path.join(base, "image_3", last + ".png")
+        ):
+            out = []
+            for name in names:
+                # KITTI label columns 8..14 = h w l x y z ry
+                rows = np.loadtxt(
+                    os.path.join(base, "label_2", name + ".txt"),
+                    usecols=range(8, 15), ndmin=2, dtype=np.float32,
+                )
+                out.append(rows)
+            return out
+
+    rng = np.random.default_rng(seed)
     for d in ("image_2", "image_3", "calib", "label_2", "velodyne"):
         os.makedirs(os.path.join(base, d), exist_ok=True)
 

@@ -120,13 +120,18 @@ def train_stereo_stage(args, train_root, log):
         log(f"reusing stage-1 checkpoint at step {step0}")
         return model, state, cfg
     step_fn = make_stereo_train_step_split(model, cfg, tc)
-    # pre-build all batches once (the synthetic set is small); reuse per epoch
+    # pre-build all batches once and reuse per epoch: images stay uint8 so
+    # even thousands of frames fit host RAM (~3 MB/frame at 384x1248)
     batches = [b.arrays() for b in pipe.batches()]
     log(f"stage 1: {len(ds)} frames, {len(batches)} batches/epoch")
+    import numpy as _np
+
+    order_rng = _np.random.default_rng(args.seed + 31)
     step, t0 = 0, time.time()
     while step < args.stereo_steps:
-        for i, batch in enumerate(batches):
-            state, metrics = step_fn(state, batch)
+        order = order_rng.permutation(len(batches))
+        for i in order:
+            state, metrics = step_fn(state, batches[i])
             step += 1
             if step == 1:
                 log(f"first step (compile included): {time.time()-t0:.1f}s")
@@ -199,7 +204,7 @@ def detect_stage(args, model, state, cfg, val_root, out_dir, log):
     return ds
 
 
-def measure_proposal_error(ds, pred_dir, log):
+def measure_proposal_error(ds, pred_dir, log, rot_cap_deg=15.0):
     """Mean center/rotation error of proposals vs nearest GT (sets the
     Vernier training noise)."""
     import numpy as np
@@ -232,7 +237,7 @@ def measure_proposal_error(ds, pred_dir, log):
     rot = float(np.degrees(np.mean(d_rot)))
     log(f"proposal error vs GT: center {loc:.3f} m, yaw {rot:.1f} deg")
     # gaussian std whose mean |2d offset| matches: mean = sigma*sqrt(pi/2)
-    return max(0.1, loc / 1.25), min(max(3.0, rot), 15.0)
+    return max(0.1, loc / 1.25), min(max(3.0, rot), rot_cap_deg)
 
 
 def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
@@ -309,6 +314,10 @@ def main():
     # raises the recall ceiling (freshly trained detectors score ~0.05-0.3)
     p.add_argument("--score_threshold", type=float, default=0.02)
     p.add_argument("--nms_iou", type=float, default=0.25)
+    p.add_argument("--noise_rot_cap", type=float, default=15.0,
+                   help="ceiling on the vernier training rotation noise "
+                   "(deg); raise when stage-1 yaw error is larger so the "
+                   "refiner learns to absorb it")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
@@ -349,7 +358,8 @@ def main():
 
     # ---- stage 2: train vernier with matched noise, refine, score -------
     noise_loc, noise_rot = measure_proposal_error(
-        vds, os.path.join(prop_res, "data"), log
+        vds, os.path.join(prop_res, "data"), log,
+        rot_cap_deg=args.noise_rot_cap,
     )
     vcfg = vernier_config(args, noise_loc, noise_rot)
     refined_dir = os.path.join(args.work_dir, "refined")
