@@ -1,5 +1,7 @@
 """Numerical parity of torch->flax weight conversion on live modules."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -334,6 +336,17 @@ class TestHRNetBackboneParity:
             # module ordering is exactly what creation-order alignment
             # must get right (reference hrnet.py:460-500)
             "hrnet-test-multi",
+            # the release epoch_80 backbone EXACTLY (modules 1/1/4/3,
+            # widths 48..384); minutes-slow on CPU so gated out of CI —
+            # run once per converter change: SNVC_FULL_PARITY=1 pytest
+            # tests/test_convert_torch.py -k w48
+            pytest.param(
+                "hrnet-w48",
+                marks=pytest.mark.skipif(
+                    not os.environ.get("SNVC_FULL_PARITY"),
+                    reason="release-scale parity proof; set SNVC_FULL_PARITY=1",
+                ),
+            ),
         ],
     )
     def test_hrnet_statedict_converts_with_forward_parity(self, rng, backbone):
