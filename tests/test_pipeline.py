@@ -55,6 +55,26 @@ def model_and_params(tiny_cfg):
 
 
 class TestDataLayer:
+    def test_synthetic_reuse_loads_back_identical_boxes(self, kitti_root):
+        """A second make_synthetic_kitti on a complete tree must skip
+        rendering (images untouched) and return the SAME GT boxes parsed
+        from the labels — big train sets rely on this."""
+        root, _, boxes = kitti_root
+        img0 = os.path.join(root, "training", "image_2", "000000.png")
+        mtime = os.path.getmtime(img0)
+        again = make_synthetic_kitti(root, num_frames=2, boxes_per_frame=2,
+                                     seed=0)
+        assert os.path.getmtime(img0) == mtime  # not re-rendered
+        for a, b in zip(again, boxes):
+            np.testing.assert_allclose(a, b, atol=1e-2)  # label text round-trip
+        # frame-count mismatch -> falls through to a fresh render
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            made = make_synthetic_kitti(td, num_frames=1, boxes_per_frame=1,
+                                        seed=3)
+            assert len(made) == 1 and made[0].shape == (1, 7)
+
     def test_dataset_and_scene(self, kitti_root):
         root, _, boxes = kitti_root
         ds = KittiDataset(root, "val")
