@@ -190,6 +190,28 @@ class TestEndToEnd:
         d = np.abs(labels[0].box3d[3:6] - prop[0].box3d[3:6])
         assert d.max() < 3.0
 
+    def test_pipelined_serving_matches_sync(self, kitti_root, tiny_cfg,
+                                            model_and_params):
+        """run(prefetch=K) dispatches ahead without host syncs; outputs
+        must be byte-identical to the synchronous loop, in order."""
+        root, pred_dir, _ = kitti_root
+        model, params = model_and_params
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, tiny_cfg, pred_dir)
+        runner = RefineRunner(model, params, tiny_cfg)
+
+        def outputs(prefetch):
+            pipe = RefinementPipeline(db, tiny_cfg, training=False)
+            writer = PredictionWriter(tiny_cfg, pred_types=("one_part",))
+            runner.run(pipe, writer=writer, progress=False, prefetch=prefetch)
+            out_dir = os.path.join(root, f"outputs_pf{prefetch}")
+            writer.write(out_dir)
+            d = os.path.join(out_dir, "one_part", "data")
+            return {f: open(os.path.join(d, f)).read()
+                    for f in sorted(os.listdir(d))}
+
+        assert outputs(4) == outputs(0)
+
     def test_losses_with_targets(self, kitti_root, tiny_cfg, model_and_params):
         root, _, _ = kitti_root
         model, params = model_and_params

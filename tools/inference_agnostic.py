@@ -30,6 +30,9 @@ def main():
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--pred_type", nargs="+", default=["all_parts"])
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--prefetch", type=int, default=4,
+                   help="pipelined serving depth: batches dispatched ahead "
+                   "of the oldest host pull (0 = synchronous)")
     p.add_argument("--report_loss", action="store_true",
                    help="also compute val losses against GT")
     p.add_argument("--evaluate", action="store_true",
@@ -101,7 +104,7 @@ def main():
             )
     else:
         runner.run(pipe, writer=writer, with_targets=args.report_loss,
-                   max_batches=args.max_batches)
+                   max_batches=args.max_batches, prefetch=args.prefetch)
     calib_dir = ds.calib_dir if args.split == "test" else None
     out = writer.write(args.output_dir, calib_dir=calib_dir)
     exp.logger.info(f"wrote predictions under {out}")
