@@ -8,6 +8,7 @@ and KITTI-format proposal files consumed by the Vernier stage.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -86,6 +87,120 @@ def decode_proposals(
         return top_k_boxes(bsel, ssel, keep, max_boxes)
 
     return jax.vmap(one)(outputs["cls"], outputs["reg"], outputs["centerness"])
+
+
+class DetectRunner:
+    """Global-model serving driver: stereo pair -> KITTI proposal files.
+
+    Owns the two chained XLA programs (encoder | head+decode) split along
+    the training seam — fusing them inflates TPU compile time from
+    minutes to tens of minutes — with params passed as arguments so the
+    persistent compile cache works across processes.  ``run(prefetch=K)``
+    keeps K frames in flight before the oldest host pull, overlapping
+    host batch prep and the per-program dispatch RTT with device compute
+    (same pipelining as RefineRunner.run; reference serving loop:
+    tools/inference_agnostic.py:366-432).
+    """
+
+    def __init__(
+        self,
+        cfg: StereoConfig,
+        variables: Dict,
+        max_boxes: int = 8,
+        score_threshold: float = 0.02,
+        nms_iou: float = 0.25,
+    ):
+        import jax as _jax
+
+        from snvc_tpu.models.stereonet import StereoEncoder, StereoHead
+        from snvc_tpu.models.vernier import scope_variables
+        from snvc_tpu.training.train_stereo import normalize_images
+
+        self.cfg = cfg
+        encoder, head = StereoEncoder(cfg), StereoHead(cfg)
+        self._enc_vars = scope_variables(variables, "encoder")
+        self._head_vars = scope_variables(variables, "head")
+
+        @_jax.jit
+        def run_encoder(vars_, b):
+            return encoder.apply(
+                vars_,
+                normalize_images(b["images_left"]),
+                normalize_images(b["images_right"]),
+            )
+
+        @_jax.jit
+        def run_head(vars_, feats, b):
+            lf, rf, rpn_img = feats
+            out = head.apply(
+                vars_, lf, rf, rpn_img, b["P_left"], b["P_right"]
+            )
+            return decode_proposals(
+                out, cfg, max_boxes=max_boxes,
+                score_threshold=score_threshold, nms_iou=nms_iou,
+            )
+
+        self._encode, self._head = run_encoder, run_head
+
+    def forward(self, batch_arrays: Dict):
+        """Dispatch one batch; returns device (boxes, scores, valid)."""
+        return self._head(
+            self._head_vars,
+            self._encode(self._enc_vars, batch_arrays),
+            batch_arrays,
+        )
+
+    def run(
+        self,
+        ds,
+        out_dir: str,
+        batch_size: int = 1,
+        prefetch: int = 4,
+        max_frames=None,
+        log=None,
+    ) -> int:
+        """Detect every frame of ``ds`` into KITTI files under
+        ``out_dir/data``; returns the total proposal count."""
+        from collections import deque
+
+        from snvc_tpu.data.stereo_pipeline import StereoPipeline
+
+        pipe = StereoPipeline(ds, self.cfg, batch_size=batch_size,
+                              training=False)
+        data_dir = os.path.join(out_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        total = 0
+        written = set()
+
+        def finish(names, out):
+            nonlocal total
+            boxes, scores, valid = jax.tree.map(np.asarray, out)
+            for i, name in enumerate(names):
+                if name in written:  # padded tail batch repeats a frame
+                    continue
+                written.add(name)
+                scene = ds.scene(int(name))
+                lines = proposals_to_kitti(
+                    boxes[i], scores[i], valid[i], scene.calibration("left")
+                )
+                total += len(lines)
+                with open(os.path.join(data_dir, name + ".txt"), "w") as f:
+                    f.write("\n".join(lines) + ("\n" if lines else ""))
+
+        pending = deque()
+        for bi, batch in enumerate(pipe.batches()):
+            if max_frames is not None and bi * batch_size >= max_frames:
+                break
+            pending.append(
+                (batch.scene_names, self.forward(batch.arrays()))
+            )
+            while len(pending) > max(prefetch, 0):
+                finish(*pending.popleft())
+        while pending:
+            finish(*pending.popleft())
+        if log is not None:
+            log(f"decoded {total} proposals over {len(written)} frames")
+        return total
 
 
 def proposals_to_kitti(

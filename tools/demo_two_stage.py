@@ -148,59 +148,23 @@ def train_stereo_stage(args, train_root, log):
     return model, state, cfg
 
 
-def detect_stage(args, model, state, cfg, val_root, out_dir, log):
+def detect_stage(args, model, state, cfg, val_root, out_dir, log,
+                 split="val"):
     import jax
-    import numpy as np
 
     from snvc_tpu.data.kitti import KittiDataset
-    from snvc_tpu.data.stereo_pipeline import StereoPipeline
-    from snvc_tpu.inference.detect import decode_proposals, proposals_to_kitti
-    from snvc_tpu.models.stereonet import StereoEncoder, StereoHead
-    from snvc_tpu.models.vernier import scope_variables
-    from snvc_tpu.training.train_stereo import normalize_images
+    from snvc_tpu.inference.detect import DetectRunner
 
-    ds = KittiDataset(val_root, "val")
-    pipe = StereoPipeline(ds, cfg, batch_size=1, training=False)
+    ds = KittiDataset(val_root, split)
     variables = {"params": jax.device_get(state.params)}
     if state.batch_stats:
         variables["batch_stats"] = jax.device_get(state.batch_stats)
-    encoder, head = StereoEncoder(cfg), StereoHead(cfg)
-    enc_vars = scope_variables(variables, "encoder")
-    head_vars = scope_variables(variables, "head")
-
-    @jax.jit
-    def run_encoder(vars_, b):
-        return encoder.apply(
-            vars_,
-            normalize_images(b["images_left"]),
-            normalize_images(b["images_right"]),
-        )
-
-    @jax.jit
-    def run_head(vars_, feats, b):
-        lf, rf, rpn_img = feats
-        out = head.apply(vars_, lf, rf, rpn_img, b["P_left"], b["P_right"])
-        return decode_proposals(
-            out, cfg, max_boxes=args.max_proposals,
-            score_threshold=args.score_threshold, nms_iou=args.nms_iou,
-        )
-
-    data_dir = os.path.join(out_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    n_total = 0
-    for batch in pipe.batches():
-        b = batch.arrays()
-        boxes, scores, valid = jax.tree.map(
-            np.asarray, run_head(head_vars, run_encoder(enc_vars, b), b)
-        )
-        scene = ds.scene(int(batch.scene_names[0]))
-        lines = proposals_to_kitti(
-            boxes[0], scores[0], valid[0], scene.calibration("left")
-        )
-        n_total += len(lines)
-        with open(os.path.join(data_dir, batch.scene_names[0] + ".txt"), "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
-    log(f"stage 1 proposals: {n_total} over {len(ds)} val frames")
+    runner = DetectRunner(
+        cfg, variables, max_boxes=args.max_proposals,
+        score_threshold=args.score_threshold, nms_iou=args.nms_iou,
+    )
+    n_total = runner.run(ds, out_dir, prefetch=4)
+    log(f"stage 1 proposals: {n_total} over {len(ds)} {split} frames")
     return ds
 
 

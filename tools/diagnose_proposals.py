@@ -24,59 +24,18 @@ if os.environ.get("JAX_PLATFORMS") == "axon":
     os.environ["JAX_PLATFORMS"] = "axon,cpu"
 
 
-def decode_split(args, model, state, cfg, ds, out_dir, log):
+def make_runner(args, cfg, state):
     import jax
-    import numpy as np
 
-    from snvc_tpu.data.stereo_pipeline import StereoPipeline
-    from snvc_tpu.inference.detect import decode_proposals, proposals_to_kitti
-    from snvc_tpu.models.stereonet import StereoEncoder, StereoHead
-    from snvc_tpu.models.vernier import scope_variables
-    from snvc_tpu.training.train_stereo import normalize_images
+    from snvc_tpu.inference.detect import DetectRunner
 
-    pipe = StereoPipeline(ds, cfg, batch_size=1, training=False)
     variables = {"params": jax.device_get(state.params)}
     if state.batch_stats:
         variables["batch_stats"] = jax.device_get(state.batch_stats)
-    encoder, head = StereoEncoder(cfg), StereoHead(cfg)
-    enc_vars = scope_variables(variables, "encoder")
-    head_vars = scope_variables(variables, "head")
-
-    @jax.jit
-    def run_encoder(vars_, b):
-        return encoder.apply(
-            vars_,
-            normalize_images(b["images_left"]),
-            normalize_images(b["images_right"]),
-        )
-
-    @jax.jit
-    def run_head(vars_, feats, b):
-        lf, rf, rpn_img = feats
-        out = head.apply(vars_, lf, rf, rpn_img, b["P_left"], b["P_right"])
-        return decode_proposals(
-            out, cfg, max_boxes=args.max_proposals,
-            score_threshold=args.score_threshold, nms_iou=args.nms_iou,
-        )
-
-    data_dir = os.path.join(out_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    n_total = 0
-    for batch in pipe.batches():
-        b = batch.arrays()
-        boxes, scores, valid = jax.tree.map(
-            np.asarray, run_head(head_vars, run_encoder(enc_vars, b), b)
-        )
-        scene = ds.scene(int(batch.scene_names[0]))
-        lines = proposals_to_kitti(
-            boxes[0], scores[0], valid[0], scene.calibration("left")
-        )
-        n_total += len(lines)
-        with open(
-            os.path.join(data_dir, batch.scene_names[0] + ".txt"), "w"
-        ) as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
-    log(f"decoded {n_total} proposals over {len(ds)} frames")
+    return DetectRunner(
+        cfg, variables, max_boxes=args.max_proposals,
+        score_threshold=args.score_threshold, nms_iou=args.nms_iou,
+    )
 
 
 def split_stats(ds, pred_dir):
@@ -156,6 +115,7 @@ def main():
     )
     print(f"loaded step {step}", flush=True)
 
+    runner = make_runner(args, cfg, state)
     out = {}
     for split, sub in (("train", "kitti_train"), ("val", "kitti_val")):
         root = os.path.join(args.work_dir, sub)
@@ -163,8 +123,7 @@ def main():
             continue
         pred_dir = os.path.join(args.work_dir, f"diag_{split}_props")
         ds = KittiDataset(root, split)
-        decode_split(args, model, state, cfg, ds, pred_dir,
-                     lambda m: print(m, flush=True))
+        runner.run(ds, pred_dir, log=lambda m: print(m, flush=True))
         out[split] = split_stats(ds, pred_dir)
         print(f"{split.upper()}: {out[split]}", flush=True)
     print(json.dumps(out))
