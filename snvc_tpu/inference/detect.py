@@ -109,7 +109,12 @@ class DetectRunner:
         max_boxes: int = 8,
         score_threshold: float = 0.02,
         nms_iou: float = 0.25,
+        mesh=None,
     ):
+        """``mesh``: a jax.sharding.Mesh with a "data" axis for
+        data-parallel serving — params replicate, every batch array
+        shards on its leading (frame) axis, and XLA partitions both
+        programs with no code change (batch_size must divide the axis)."""
         import jax as _jax
 
         from snvc_tpu.models.stereonet import StereoEncoder, StereoHead
@@ -117,9 +122,17 @@ class DetectRunner:
         from snvc_tpu.training.train_stereo import normalize_images
 
         self.cfg = cfg
+        self.mesh = mesh
         encoder, head = StereoEncoder(cfg), StereoHead(cfg)
         self._enc_vars = scope_variables(variables, "encoder")
         self._head_vars = scope_variables(variables, "head")
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._enc_vars = _jax.device_put(self._enc_vars, replicated)
+            self._head_vars = _jax.device_put(self._head_vars, replicated)
 
         @_jax.jit
         def run_encoder(vars_, b):
@@ -144,6 +157,8 @@ class DetectRunner:
 
     def forward(self, batch_arrays: Dict):
         """Dispatch one batch; returns device (boxes, scores, valid)."""
+        if self.mesh is not None:
+            batch_arrays = jax.device_put(batch_arrays, self._batch_sharding)
         return self._head(
             self._head_vars,
             self._encode(self._enc_vars, batch_arrays),

@@ -31,6 +31,41 @@ from snvc_tpu.training.train_stereo import normalize_images
 
 
 @pytest.mark.slow
+def test_detect_runner_data_parallel_matches_single_device(tmp_path):
+    """DetectRunner(mesh=dp2) must emit byte-identical proposal files to
+    the single-device runner: params replicate, frames shard on "data",
+    XLA partitions both programs (SURVEY.md §2.3 serving scale-out)."""
+    from jax.sharding import Mesh
+    from snvc_tpu.inference.detect import DetectRunner
+
+    root = str(tmp_path)
+    make_synthetic_kitti(root, num_frames=2, boxes_per_frame=2, seed=4)
+    ds = KittiDataset(root, "val")
+    scfg = tiny_stereo_config(z_max=38.0, max_depth=40.0)
+    smodel = StereoNet(scfg)
+    H, W = scfg.input_size
+    variables = smodel.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+        jnp.eye(3, 4)[None], jnp.eye(3, 4)[None],
+    )
+
+    def run(mesh, batch_size, tag):
+        r = DetectRunner(scfg, variables, max_boxes=4, score_threshold=0.0,
+                         nms_iou=0.5, mesh=mesh)
+        out = os.path.join(root, tag)
+        r.run(ds, out, batch_size=batch_size, prefetch=2)
+        d = os.path.join(out, "data")
+        return {f: open(os.path.join(d, f)).read()
+                for f in sorted(os.listdir(d))}
+
+    single = run(None, 1, "props_single")
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2,), ("data",))
+    sharded = run(mesh, 2, "props_dp2")
+    assert sharded == single
+
+
+@pytest.mark.slow
 def test_two_stage_pipeline(tmp_path):
     root = str(tmp_path)
     make_synthetic_kitti(root, num_frames=1, boxes_per_frame=2, seed=2)
