@@ -98,12 +98,24 @@ class RefineRunner:
     """Compiles and drives the refinement pipeline."""
 
     def __init__(self, model: VernierScale, params, cfg: VernierConfig,
-                 monolithic: bool = False):
+                 monolithic: bool = False, mesh=None):
+        """``mesh``: a jax.sharding.Mesh with a "data" axis for
+        data-parallel serving — params replicate, instances shard over
+        the axis with the SAME specs training uses (shared frame images
+        replicated, per-instance arrays split on their leading axis);
+        max_instances must divide the axis size."""
         self.model = model
         self.params = params
         self.cfg = cfg
         self.grid_local = jnp.asarray(make_grid_local(cfg))
         self.monolithic = monolithic
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.params = jax.device_put(
+                params, NamedSharding(mesh, PartitionSpec())
+            )
         self.encoder = VernierEncoder(cfg)
         self.head = VernierHead(cfg)
         self._progs = {}
@@ -150,6 +162,10 @@ class RefineRunner:
         host_outputs=None,
     ) -> Dict:
         arrays = batch.arrays()
+        if self.mesh is not None:
+            from snvc_tpu.parallel.api import shard_instance_batch
+
+            arrays = shard_instance_batch(arrays, self.mesh)
         if self.monolithic:
             key = ("mono", with_targets)
             if key not in self._progs:

@@ -212,6 +212,33 @@ class TestEndToEnd:
 
         assert outputs(4) == outputs(0)
 
+    def test_data_parallel_serving_matches_single_device(
+        self, kitti_root, tiny_cfg, model_and_params
+    ):
+        """RefineRunner(mesh=dp2) shards instances with the training
+        batch specs; refined output files must match single-device."""
+        import jax
+        from jax.sharding import Mesh
+
+        root, pred_dir, _ = kitti_root
+        model, params = model_and_params
+        ds = KittiDataset(root, "val")
+        db = build_db_from_predictions(ds, tiny_cfg, pred_dir)
+
+        def outputs(mesh, tag):
+            runner = RefineRunner(model, params, tiny_cfg, mesh=mesh)
+            pipe = RefinementPipeline(db, tiny_cfg, training=False)
+            writer = PredictionWriter(tiny_cfg, pred_types=("one_part",))
+            runner.run(pipe, writer=writer, progress=False)
+            out_dir = os.path.join(root, f"outputs_{tag}")
+            writer.write(out_dir)
+            d = os.path.join(out_dir, "one_part", "data")
+            return {f: open(os.path.join(d, f)).read()
+                    for f in sorted(os.listdir(d))}
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2,), ("data",))
+        assert outputs(mesh, "dp2") == outputs(None, "sync1")
+
     def test_losses_with_targets(self, kitti_root, tiny_cfg, model_and_params):
         root, _, _ = kitti_root
         model, params = model_and_params
