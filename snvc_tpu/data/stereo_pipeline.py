@@ -71,6 +71,8 @@ class StereoPipeline:
         max_gt: int = 24,
         training: bool = True,
         valid_classes=(2,),
+        augment_flip: bool = False,
+        seed: int = 0,
     ):
         self.ds = dataset
         self.cfg = cfg
@@ -78,9 +80,24 @@ class StereoPipeline:
         self.max_gt = max_gt
         self.training = training
         self.valid_classes = valid_classes
+        self.augment_flip = augment_flip and training
+        self._flip_rng = np.random.default_rng(seed + 101)
 
     def __len__(self):
         return int(np.ceil(len(self.ds) / self.batch_size))
+
+    def index_groups(self) -> List[List[int]]:
+        """Sequential frame-index groups, one per batch (the last group is
+        padded by repeating its final frame).  Lets callers pre-build
+        batches with explicit per-frame ``flips`` (e.g. both orientations
+        of every frame for replayed-epoch training)."""
+        groups = []
+        for s in range(0, len(self.ds), self.batch_size):
+            idxs = list(self.ds.indices[s : s + self.batch_size])
+            if len(idxs) < self.batch_size:
+                idxs = idxs + [idxs[-1]] * (self.batch_size - len(idxs))
+            groups.append(idxs)
+        return groups
 
     def batches(self, shuffle: bool = False, seed: int = 0) -> Iterator[StereoBatch]:
         order = np.arange(len(self.ds))
@@ -90,9 +107,15 @@ class StereoPipeline:
             idxs = [self.ds.indices[i] for i in order[s : s + self.batch_size]]
             if len(idxs) < self.batch_size:
                 idxs = idxs + [idxs[-1]] * (self.batch_size - len(idxs))
-            yield self.make_batch(idxs)
+            flips = (
+                self._flip_rng.random(len(idxs)) < 0.5
+                if self.augment_flip else None
+            )
+            yield self.make_batch(idxs, flips=flips)
 
-    def make_batch(self, frame_indices: Sequence[int]) -> StereoBatch:
+    def make_batch(
+        self, frame_indices: Sequence[int], flips=None
+    ) -> StereoBatch:
         cfg = self.cfg
         H, W = cfg.input_size
         B = len(frame_indices)
@@ -109,28 +132,63 @@ class StereoPipeline:
         for b, idx in enumerate(frame_indices):
             scene = self.ds.scene(idx)
             names.append(scene.name)
+            flip = bool(flips[b]) if flips is not None else False
             # aspect-preserving downscale when the target resolution is
             # below native, with the projection scaled to match (reduced-
             # resolution training keeps full-frame geometry)
-            il[b], s = scene.load_image_scaled("left", (H, W))
-            ir[b], _ = scene.load_image_scaled("right", (H, W))
+            iml, s = scene.load_image_scaled("left", (H, W))
+            imr, _ = scene.load_image_scaled("right", (H, W))
             cl = scene.calibration("left")
             cr = scene.calibration("right")
             S = np.diag([s, s, 1.0]).astype(np.float32)
-            Pl[b] = S @ cl.as_array()
-            Pr[b] = S @ cr.as_array()
+            if flip:
+                # EXACT stereo flip: mirror the world (x -> -x) and both
+                # images, then swap views — the mirrored right camera
+                # lands LEFT of the mirrored left camera, so the swapped
+                # pair is again rectified with positive disparity.  The
+                # mirror axis is the CONTENT width (the canvas is
+                # right/bottom zero-padded), and the new projections are
+                # F @ P_other @ M so all downstream geometry (plane-sweep
+                # baseline, frustum resampling) stays consistent without
+                # assuming a canonical rig.
+                nh, nw = scene.native_image_size()
+                wc = int(round(nw * s))
+                F = np.array(
+                    [[-1.0, 0.0, wc - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                    np.float32,
+                )
+                M = np.diag([-1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+
+                def mirror(img):
+                    out = img.copy()
+                    out[:, :wc] = img[:, wc - 1 :: -1]
+                    return out
+
+                il[b], ir[b] = mirror(imr), mirror(iml)
+                Pl[b] = F @ (S @ cr.as_array()) @ M
+                Pr[b] = F @ (S @ cl.as_array()) @ M
+            else:
+                il[b], ir[b] = iml, imr
+                Pl[b] = S @ cl.as_array()
+                Pr[b] = S @ cr.as_array()
             if self.training and scene.label_dir:
                 _, b3, cls, _ = filter_annotations(
                     scene.labels(),
                     valid_classes=self.valid_classes,
                     depth_range=(cfg.z_min, cfg.z_max),
                 )
+                b3 = np.array(b3, np.float32).reshape(-1, 7)
+                if flip and len(b3):
+                    b3[:, 3] *= -1.0
+                    b3[:, 6] = (np.pi - b3[:, 6] + np.pi) % (2 * np.pi) - np.pi
                 n = min(len(b3), G)
                 boxes[b, :n] = b3[:n]
                 valid[b, :n] = True
                 classes[b, :n] = 0  # single-class (Car) for now
                 pc = scene.lidar()[:, :3]
                 pc_rect = cl.velo_to_rect(pc).astype(np.float32)
+                if flip:
+                    pc_rect = pc_rect * np.array([-1, 1, 1], np.float32)
                 depth[b] = rasterize_depth(pc_rect, Pl[b], (H, W))
         return StereoBatch(
             images_left=il, images_right=ir, P_left=Pl, P_right=Pr,

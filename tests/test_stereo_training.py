@@ -44,6 +44,55 @@ class TestStereoPipeline:
         if b.gt_valid.any():
             assert (b.depth_gt > 0).any()
 
+    def test_flip_augmentation_exact_geometry(self, kitti_root):
+        """The stereo flip mirrors the WORLD and swaps mirrored views:
+        (a) projecting a flipped GT center through the flipped P_left must
+        land exactly at the content-mirrored pixel of the original center
+        through the original P_RIGHT (new left view = mirrored old right),
+        (b) flipped image content equals the mirrored swap, (c) the
+        flipped pair keeps a positive plane-sweep baseline, (d) yaw maps
+        ry -> pi - ry (footprint mirror)."""
+        cfg = _cfg()
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=1, max_gt=8)
+        b0 = pipe.make_batch([0], flips=[False])
+        bf = pipe.make_batch([0], flips=[True])
+
+        nh, nw = ds.scene(0).native_image_size()
+        H, W = cfg.input_size
+        s = min(H / nh, W / nw)
+        wc = int(round(nw * s))
+
+        def project(P, xyz):
+            uvw = P @ np.append(xyz, 1.0)
+            return uvw[:2] / uvw[2]
+
+        n = int(b0.gt_valid[0].sum())
+        assert n and int(bf.gt_valid[0].sum()) == n
+        for i in range(n):
+            g0, gf = b0.gt_boxes[0, i], bf.gt_boxes[0, i]
+            np.testing.assert_allclose(gf[3], -g0[3], atol=1e-5)
+            np.testing.assert_allclose(gf[[0, 1, 2, 4, 5]],
+                                       g0[[0, 1, 2, 4, 5]], atol=1e-5)
+            dyaw = (gf[6] - (np.pi - g0[6]) + np.pi) % (2 * np.pi) - np.pi
+            assert abs(dyaw) < 1e-5
+            c0 = g0[[3, 4, 5]] - [0, g0[0] / 2, 0]  # mid-height center
+            cf = gf[[3, 4, 5]] - [0, gf[0] / 2, 0]
+            u0, v0 = project(b0.P_right[0], c0)
+            uf, vf = project(bf.P_left[0], cf)
+            np.testing.assert_allclose(uf, (wc - 1) - u0, atol=1e-3)
+            np.testing.assert_allclose(vf, v0, atol=1e-3)
+        # (b) image content: new left = horizontally mirrored old right
+        np.testing.assert_array_equal(
+            bf.images_left[0][:, :wc], b0.images_right[0][:, wc - 1 :: -1]
+        )
+        # (c) positive baseline for the plane sweep
+        def bx(P):
+            return P[0, 3] / (-P[0, 0])
+        assert bx(bf.P_right[0]) - bx(bf.P_left[0]) > 0
+        # (d) LiDAR depth supervision still lands on the flipped raster
+        assert (bf.depth_gt > 0).any()
+
     def test_rasterize_depth(self):
         cal = Calibration.default()
         pts = np.array([[0.0, 1.0, 20.0], [0.0, 1.0, 10.0]], np.float32)

@@ -121,8 +121,17 @@ def train_stereo_stage(args, train_root, log):
         return model, state, cfg
     step_fn = make_stereo_train_step_split(model, cfg, tc)
     # pre-build all batches once and reuse per epoch: images stay uint8 so
-    # even thousands of frames fit host RAM (~3 MB/frame at 384x1248)
-    batches = [b.arrays() for b in pipe.batches()]
+    # even thousands of frames fit host RAM (~3 MB/frame at 384x1248).
+    # With --augment_flip the pool also holds the exactly-flipped variant
+    # of every batch (mirrored world + swapped mirrored views), doubling
+    # the epoch without re-decoding images.
+    groups = pipe.index_groups()
+    batches = [pipe.make_batch(g).arrays() for g in groups]
+    if args.augment_flip:
+        batches += [
+            pipe.make_batch(g, flips=[True] * len(g)).arrays()
+            for g in groups
+        ]
     log(f"stage 1: {len(ds)} frames, {len(batches)} batches/epoch")
     import numpy as _np
 
@@ -285,6 +294,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--augment_flip", action="store_true",
+                   help="double the stage-1 batch pool with exact stereo "
+                   "flips (mirror world + swap mirrored views)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU-runnable mechanics check (AP not meaningful)")
     p.add_argument("--reuse_stereo", action="store_true",

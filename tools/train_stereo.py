@@ -37,6 +37,9 @@ def main():
     )
     p.add_argument("--max_frames", type=int, default=None,
                    help="cap the number of training frames (synthetic demos)")
+    p.add_argument("--augment_flip", action="store_true",
+                   help="exact stereo flip augmentation (mirror world + "
+                   "swap mirrored views; reference preprocess.py flip)")
     args = p.parse_args()
 
     import jax
@@ -67,7 +70,8 @@ def main():
     ds = KittiDataset(args.data_path, args.split)
     if args.max_frames is not None:
         ds.indices = ds.indices[: args.max_frames]
-    pipe = StereoPipeline(ds, cfg, batch_size=args.batch_size)
+    pipe = StereoPipeline(ds, cfg, batch_size=args.batch_size,
+                          augment_flip=args.augment_flip, seed=args.seed)
     model = StereoNet(cfg)
     state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
     n_dev = len(jax.devices())
