@@ -293,6 +293,14 @@ class StereoConfig(_Base):
     focal_alpha: float = 0.25
     num_3d_convs: int = 1
     hourglass_3d: bool = True
+    # heading-symmetric corner regression: score each positive against
+    # both pi-rotated corner orderings and keep the better one.  The
+    # heading bit is invisible to BEV/3D IoU and (on geometry alone)
+    # unlearnable, so the asymmetric loss drives predictions toward the
+    # average of the two orderings — a shrunken, degenerate box.  Off by
+    # default for parity with the reference loss (loss3d.py:350-359,
+    # whose own sin/cos disambiguation lands on a corner coordinate).
+    reg_heading_sym: bool = False
     # image size (padded/cropped to static shape); KITTI is 375x1242
     input_size: Tuple[int, int] = (384, 1248)
     compute_dtype: str = "bfloat16"

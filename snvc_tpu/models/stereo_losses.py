@@ -183,6 +183,15 @@ def rpn3d_loss(
     reg_t_ak = jnp.broadcast_to(reg_t[:, :, None, :, :], reg.shape)
     w = labels_ak * ctr_t[:, :, None, None]
     per = jnp.mean(smooth_l1(reg, reg_t_ak), axis=-1)  # [N, L, A, K]
+    if cfg.reg_heading_sym:
+        # the pi-rotated box has the same footprint with corners reordered
+        # [2,3,0,1, 6,7,4,5]; score against both orderings and keep the
+        # better one PER LOCATION (one consistent ordering, not per-coord)
+        alt = reg_t.reshape(N, L, K, 8, 3)[
+            :, :, :, jnp.array([2, 3, 0, 1, 6, 7, 4, 5]), :
+        ].reshape(N, L, K, 24)
+        alt_ak = jnp.broadcast_to(alt[:, :, None, :, :], reg.shape)
+        per = jnp.minimum(per, jnp.mean(smooth_l1(reg, alt_ak), axis=-1))
     reg_loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
     pos_a = jnp.any(labels_ak > 0, axis=-1)  # [N, L, A]

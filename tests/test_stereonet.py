@@ -308,6 +308,25 @@ class TestTargetsAndLoss:
             assert np.isfinite(float(v)), k
         assert float(losses["num_pos"]) > 0
 
+    def test_heading_symmetric_reg_loss(self, cfg, stereo_out):
+        """reg_heading_sym makes the corner loss invariant to flipping any
+        GT heading by pi (the bit BEV/3D IoU cannot see — on geometry
+        alone it is unlearnable, and the asymmetric loss drives
+        predictions toward the degenerate average of the two orderings),
+        and it never exceeds the asymmetric loss."""
+        _, out = stereo_out
+        locations = jnp.asarray(bev_locations(cfg))
+        gt = jnp.array([[[1.5, 1.6, 3.8, 0.0, 1.65, 10.0, 0.3]]])
+        valid = jnp.ones((1, 1), bool)
+        cls0 = jnp.zeros((1, 1), jnp.int32)
+        scfg = cfg.replace(reg_heading_sym=True)
+        r1 = rpn3d_loss(out, gt, valid, cls0, scfg, locations)["reg"]
+        gt_flip = gt.at[..., 6].add(np.pi)
+        r2 = rpn3d_loss(out, gt_flip, valid, cls0, scfg, locations)["reg"]
+        np.testing.assert_allclose(float(r1), float(r2), rtol=1e-5)
+        r_asym = rpn3d_loss(out, gt, valid, cls0, cfg, locations)["reg"]
+        assert float(r1) <= float(r_asym) + 1e-7
+
     def test_depth_losses(self, cfg):
         rng = np.random.default_rng(0)
         gt = jnp.asarray(rng.uniform(5, 15, (1, 8, 8)), jnp.float32)

@@ -37,8 +37,9 @@ def stereo_config(args):
 
     if args.smoke:
         # CPU-runnable mechanics check (minutes, AP not meaningful)
-        return tiny_stereo_config(z_max=38.0, max_depth=40.0,
-                                  compute_dtype=args.dtype)
+        return tiny_stereo_config(
+            z_max=38.0, max_depth=40.0, compute_dtype=args.dtype,
+        ).replace(reg_heading_sym=args.reg_heading_sym)
     # mid-scale: half-resolution input (the loader downscales aspect-
     # preserving and scales the projection to match), detection range
     # covering the synthetic boxes (z in 12..35 m)
@@ -60,6 +61,7 @@ def stereo_config(args):
         voxel_y=0.2,
         voxel_z=0.2,
         compute_dtype=args.dtype,
+        reg_heading_sym=args.reg_heading_sym,
     )
 
 
@@ -294,6 +296,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--reg_heading_sym", action="store_true",
+                   help="heading-symmetric corner regression (min over "
+                   "the two pi-rotated orderings)")
     p.add_argument("--augment_flip", action="store_true",
                    help="double the stage-1 batch pool with exact stereo "
                    "flips (mirror world + swap mirrored views)")
