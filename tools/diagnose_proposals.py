@@ -65,6 +65,10 @@ def split_stats(ds, pred_dir):
                 abs(float(rec.pred[3] - rec.label[3])),
                 abs(float(rec.pred[5] - rec.label[5])),
                 abs(float(np.degrees(dyaw))),
+                # SIGNED size errors: systematically negative medians are
+                # the signature of heading-averaged (shrunken) corners
+                float(rec.pred[2] - rec.label[2]),  # dl
+                float(rec.pred[1] - rec.label[1]),  # dw
             )
         )
     if rows:
@@ -75,6 +79,8 @@ def split_stats(ds, pred_dir):
             x_med_m=round(float(med[1]), 3),
             z_med_m=round(float(med[2]), 3),
             yaw_med_deg=round(float(med[3]), 1),
+            dl_med_m=round(float(med[4]), 3),
+            dw_med_m=round(float(med[5]), 3),
             # recall proxy: matched proposals within 1 m of a GT center
             within_1m=int((a[:, 0] < 1.0).sum()),
         )
@@ -89,6 +95,9 @@ def main():
     p.add_argument("--nms_iou", type=float, default=0.25)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--smoke", action="store_true")
+    # loss-only config field consumed by demo_two_stage.stereo_config;
+    # has no effect on the restored model's parameters or forward pass
+    p.add_argument("--reg_heading_sym", action="store_true")
     args = p.parse_args()
 
     import jax
