@@ -12,6 +12,7 @@ All modules take a ``train`` flag; BatchNorm requires a mutable
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
@@ -144,6 +145,14 @@ class Conv3d(nn.Module):
     one big MXU matmul instead of kd small-C ones (C=32 leaves 3/4 of the
     128-wide MXU idle; kd*C=96..224 fills it).  "auto" enables it when
     sd==1 and kd*C is MXU-friendly.
+
+    Default is "never": the same-window model-level A/B (BENCH.md,
+    2026-08-17) measured the fold a 19% REGRESSION on the full stereo
+    model (9.56 -> 7.73 pairs/s) and a wash on the vernier models — the
+    kd-fold concatenated volume triples HBM traffic, which buys back
+    more than the MXU occupancy gain on these memory-bound stacks.  The
+    op-level microbench that motivated it (1.25x on an isolated k3^3)
+    did not survive composition with XLA's fusions.
     """
 
     features: int
@@ -152,7 +161,7 @@ class Conv3d(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     dtype: Optional[Dtype] = None
-    fold_depth: str = "auto"  # "auto" | "never" | "always"
+    fold_depth: str = "never"  # "never" | "auto" | "always"
 
     @nn.compact
     def __call__(self, x):
@@ -171,9 +180,14 @@ class Conv3d(nn.Module):
         x = x.astype(dt)
         # auto-fold bounds: C < 128 (wider inputs already fill the MXU) and
         # kd*C <= 256 (folding duplicates the volume kd-fold in HBM; large
-        # products pay more in traffic than they gain in MXU occupancy)
-        fold = self.fold_depth == "always" or (
-            self.fold_depth == "auto"
+        # products pay more in traffic than they gain in MXU occupancy).
+        # SNVC_FOLD_DEPTH=never|always|auto overrides per process — a
+        # benchmarking escape hatch for same-window model-level A/Bs
+        # (tools/bench_conv3d.py, BENCH.md) — parameters are identical
+        # either way, so checkpoints are unaffected.
+        mode = os.environ.get("SNVC_FOLD_DEPTH", self.fold_depth)
+        fold = mode == "always" or (
+            mode == "auto"
             and sd == 1
             and kd > 1
             and C < 128
