@@ -162,6 +162,7 @@ class Conv3d(nn.Module):
     use_bias: bool = False
     dtype: Optional[Dtype] = None
     fold_depth: str = "never"  # "never" | "auto" | "always"
+    pallas: str = "never"  # "never" | "auto" — implicit-GEMM k3^3 kernel
 
     @nn.compact
     def __call__(self, x):
@@ -193,6 +194,30 @@ class Conv3d(nn.Module):
             and C < 128
             and kd * C <= 256
         )
+        # implicit-GEMM Pallas kernel for the hot k3^3/s1/d1 shape: full
+        # 27C-deep MXU contraction at ~1x HBM traffic (the im2col fold
+        # happens in VMEM; see ops/conv3d_pallas.py).  Same env-hatch
+        # pattern as SNVC_FOLD_DEPTH for same-window A/Bs.
+        pmode = os.environ.get("SNVC_CONV3D_PALLAS", self.pallas)
+        if (
+            pmode != "never"
+            and jax.default_backend() not in ("cpu",)
+            and (self.stride, self.dilation) == ((1, 1, 1), 1)
+        ):
+            from snvc_tpu.ops.conv3d_pallas import (
+                conv3d_k3,
+                conv3d_k3_available,
+            )
+
+            if conv3d_k3_available(x.shape, w.shape):
+                out = conv3d_k3(x, w)
+                if self.use_bias:
+                    b = self.param(
+                        "bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32,
+                    )
+                    out = out + b.astype(dt)
+                return out
         if fold:
             return self._fold_depth_conv(x, w, dt)
         # torch-symmetric padding along depth: (k-1)//2 * dilation per side,
