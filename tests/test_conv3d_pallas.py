@@ -43,6 +43,22 @@ class TestConv3dPallasInterpret:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def test_bf16_matches_xla(self, rng):
+        """bf16 activations (the model's compute dtype): f32-accumulated
+        dot, bf16 output, tolerance at bf16 resolution."""
+        x = jnp.asarray(
+            rng.standard_normal((1, 3, 8, 16, 32)), jnp.bfloat16
+        )
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 32, 16)), jnp.float32
+        )
+        got = np.asarray(
+            _conv3d_pallas_fwd(x, w, interpret=True).astype(jnp.float32)
+        )
+        want = np.asarray(conv3d_xla(x, w).astype(jnp.float32))
+        # |out| ~ sqrt(27*32) ~ 30; bf16 eps ~ 2^-8
+        np.testing.assert_allclose(got, want, atol=0.5)
+
     def test_availability_gate(self):
         ok = conv3d_k3_available((1, 4, 8, 16, 32), (3, 3, 3, 32, 32))
         # the gate itself is backend-independent except for _HAS_PLTPU
