@@ -293,6 +293,9 @@ class StereoConfig(_Base):
     focal_alpha: float = 0.25
     num_3d_convs: int = 1
     hourglass_3d: bool = True
+    # per-step view-consistent photometric jitter during training
+    # (reference ColorJitter/Lighting, preprocess.py:21-179)
+    photometric_aug: bool = False
     # heading-symmetric corner regression: score each positive against
     # both pi-rotated corner orderings and keep the better one.  The
     # heading bit is invisible to BEV/3D IoU and (on geometry alone)

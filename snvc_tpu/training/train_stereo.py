@@ -36,6 +36,28 @@ def normalize_images(img_u8):
     return (x - _IMG_MEAN) / _IMG_STD
 
 
+def augment_normalize(img_l_u8, img_r_u8, cfg: StereoConfig, step):
+    """Photometric jitter (cfg.photometric_aug) + ImageNet normalization.
+
+    The SAME jitter is applied to both views (keyed by the step counter):
+    the plane-sweep cost volume compares left/right features directly, so
+    view-consistent photometrics perturb appearance without corrupting
+    the stereo-matching signal (reference ColorJitter/Lighting,
+    snvc/utils/preprocess.py:21-179, applied per sample).  Keying from
+    ``step`` keeps the split train step's program-3 rematerialization
+    bit-identical to program 1 with no extra rng plumbing.  The factors
+    are per-step scalars (shared across the batch dim)."""
+    l = img_l_u8.astype(jnp.float32) / 255.0
+    r = img_r_u8.astype(jnp.float32) / 255.0
+    if cfg.photometric_aug:
+        from snvc_tpu.ops.augment import color_jitter
+
+        key = jax.random.PRNGKey(step)
+        l = color_jitter(key, l)
+        r = color_jitter(key, r)
+    return (l - _IMG_MEAN) / _IMG_STD, (r - _IMG_MEAN) / _IMG_STD
+
+
 def create_stereo_state(model: StereoNet, cfg: StereoConfig, tc: TrainConfig, rng):
     import contextlib
 
@@ -79,8 +101,9 @@ def stereo_train_step(
     locations,
     depth_weight: float = 1.0,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    left = normalize_images(batch["images_left"])
-    right = normalize_images(batch["images_right"])
+    left, right = augment_normalize(
+        batch["images_left"], batch["images_right"], cfg, state.step
+    )
 
     def loss_fn(params):
         variables = {"params": params}
@@ -158,9 +181,8 @@ def make_stereo_train_step_split(
     encoder = StereoEncoder(cfg)
     head = StereoHead(cfg)
 
-    def enc_fwd(enc_params, enc_stats, img_l_u8, img_r_u8):
-        left = normalize_images(img_l_u8)
-        right = normalize_images(img_r_u8)
+    def enc_fwd(enc_params, enc_stats, img_l_u8, img_r_u8, step):
+        left, right = augment_normalize(img_l_u8, img_r_u8, cfg, step)
         variables = {"params": enc_params}
         mutable = False
         if enc_stats:
@@ -182,9 +204,10 @@ def make_stereo_train_step_split(
         total = losses["total"] + depth_weight * dloss
         return total, dict(losses, depth=dloss, total=total)
 
-    def prog_encode(enc_params, enc_stats, batch):
+    def prog_encode(enc_params, enc_stats, batch, step):
         return enc_fwd(
-            enc_params, enc_stats, batch["images_left"], batch["images_right"]
+            enc_params, enc_stats, batch["images_left"],
+            batch["images_right"], step,
         )
 
     def prog_head_grads(head_params, feats, batch):
@@ -204,7 +227,8 @@ def make_stereo_train_step_split(
         enc_stats = (state.batch_stats or {}).get("encoder", {})
         _, vjp = jax.vjp(
             lambda p: enc_fwd(
-                p, enc_stats, batch["images_left"], batch["images_right"]
+                p, enc_stats, batch["images_left"], batch["images_right"],
+                state.step,  # pre-update: same jitter key as program 1
             )[0],
             state.params["encoder"],
         )
@@ -242,7 +266,7 @@ def make_stereo_train_step_split(
         }
         j_encode = jax.jit(
             prog_encode,
-            in_shardings=(repl, repl, bspec),
+            in_shardings=(repl, repl, bspec, repl),
             out_shardings=(data, repl),
         )
         j_grads = jax.jit(
@@ -263,7 +287,8 @@ def make_stereo_train_step_split(
             f"found batch_stats under {sorted(stats)}"
         )
         feats, new_enc_stats = j_encode(
-            state.params["encoder"], stats.get("encoder", {}), batch
+            state.params["encoder"], stats.get("encoder", {}), batch,
+            state.step,
         )
         losses, g_head, ct_feats = j_grads(state.params["head"], feats, batch)
         return j_update(state, batch, ct_feats, g_head, new_enc_stats, losses)

@@ -155,6 +155,41 @@ class TestStereoTraining:
                 np.asarray(a), np.asarray(b), atol=2e-5
             )
 
+    def test_split_matches_monolithic_with_photometric_aug(self, kitti_root):
+        """With photometric_aug the jitter is keyed from state.step, so the
+        split step's program-3 encoder rematerialization must reproduce
+        program 1's jittered images bit-exactly — otherwise the encoder
+        gradients silently diverge from the fused step's."""
+        from snvc_tpu.training.train_stereo import make_stereo_train_step_split
+
+        cfg = _cfg().replace(photometric_aug=True)
+        tc = TrainConfig(lr=3e-4, warmup_steps=1, total_steps=20, grad_clip=5.0)
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=1, max_gt=8)
+        batch = next(pipe.batches()).arrays()
+        model = StereoNet(cfg)
+        state_s = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        state_m = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        split = make_stereo_train_step_split(model, cfg, tc)
+        mono = make_stereo_train_step(model, cfg, tc)
+        # two steps: step 0 and step 1 draw different jitters
+        totals = []
+        for _ in range(2):
+            state_s, ms = split(state_s, batch)
+            state_m, mm = mono(state_m, batch)
+            np.testing.assert_allclose(
+                float(ms["total"]), float(mm["total"]), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                float(ms["grad_norm"]), float(mm["grad_norm"]), rtol=1e-4
+            )
+            totals.append(float(ms["total"]))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_s.params),
+            jax.tree_util.tree_leaves(state_m.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
     def test_split_step_on_mesh(self, kitti_root):
         """Split programs accept the data-parallel mesh shardings."""
         from snvc_tpu.parallel.api import make_mesh

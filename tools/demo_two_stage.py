@@ -39,7 +39,8 @@ def stereo_config(args):
         # CPU-runnable mechanics check (minutes, AP not meaningful)
         return tiny_stereo_config(
             z_max=38.0, max_depth=40.0, compute_dtype=args.dtype,
-        ).replace(reg_heading_sym=args.reg_heading_sym)
+        ).replace(reg_heading_sym=args.reg_heading_sym,
+                  photometric_aug=args.photo_aug)
     # mid-scale: half-resolution input (the loader downscales aspect-
     # preserving and scales the projection to match), detection range
     # covering the synthetic boxes (z in 12..35 m)
@@ -62,6 +63,7 @@ def stereo_config(args):
         voxel_z=0.2,
         compute_dtype=args.dtype,
         reg_heading_sym=args.reg_heading_sym,
+        photometric_aug=args.photo_aug,
     )
 
 
@@ -296,6 +298,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--photo_aug", action="store_true",
+                   help="per-step view-consistent photometric jitter "
+                   "during stage-1 training")
     p.add_argument("--reg_heading_sym", action="store_true",
                    help="heading-symmetric corner regression (min over "
                    "the two pi-rotated orderings)")

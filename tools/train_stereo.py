@@ -40,6 +40,9 @@ def main():
     p.add_argument("--augment_flip", action="store_true",
                    help="exact stereo flip augmentation (mirror world + "
                    "swap mirrored views; reference preprocess.py flip)")
+    p.add_argument("--photometric_aug", action="store_true",
+                   help="per-step view-consistent color jitter + PCA "
+                   "lighting (reference preprocess.py:21-179)")
     args = p.parse_args()
 
     import jax
@@ -62,6 +65,8 @@ def main():
         cfg = load_config(args.config, StereoConfig)
     else:
         cfg = StereoConfig()
+    if args.photometric_aug:
+        cfg = cfg.replace(photometric_aug=True)
     tc = TrainConfig(lr=args.lr, total_steps=args.steps)
     exp = Experimenter(args.model_dir, config=cfg)
     log = exp.logger
