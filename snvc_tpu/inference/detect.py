@@ -33,10 +33,23 @@ def corners24_to_box3d(corners):
     center_xz = jnp.mean(c[..., (0, 2)], axis=-2)
     y_bottom = jnp.mean(bottom[..., 1], axis=-1)
     h = jnp.mean(bottom[..., 1] - top[..., 1], axis=-1)
-    e_l = bottom[..., 0, :] - bottom[..., 3, :]  # length edge
-    e_w = bottom[..., 0, :] - bottom[..., 1, :]  # width edge
-    l = jnp.linalg.norm(e_l[..., (0, 2)], axis=-1)
-    w = jnp.linalg.norm(e_w[..., (0, 2)], axis=-1)
+    # every dimension has four parallel edges — average them all (the
+    # yaw as a vector sum, which is wrap-safe) so single-corner noise in
+    # a predicted cuboid enters at 1/4 weight instead of full
+    e_l = (
+        (c[..., 0, :] - c[..., 3, :])
+        + (c[..., 1, :] - c[..., 2, :])
+        + (c[..., 4, :] - c[..., 7, :])
+        + (c[..., 5, :] - c[..., 6, :])
+    )
+    e_w = (
+        (c[..., 0, :] - c[..., 1, :])
+        + (c[..., 3, :] - c[..., 2, :])
+        + (c[..., 4, :] - c[..., 5, :])
+        + (c[..., 7, :] - c[..., 6, :])
+    )
+    l = jnp.linalg.norm(e_l[..., (0, 2)], axis=-1) / 4.0
+    w = jnp.linalg.norm(e_w[..., (0, 2)], axis=-1) / 4.0
     ry = jnp.arctan2(-e_l[..., 2], e_l[..., 0])
     return jnp.stack(
         [h, w, l, center_xz[..., 0], y_bottom, center_xz[..., 1], ry], axis=-1
