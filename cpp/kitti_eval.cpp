@@ -24,6 +24,7 @@
 #include <cassert>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <dirent.h>
 #include <string>
@@ -36,7 +37,10 @@ constexpr int kMinHeight[3] = {40, 25, 25};
 constexpr int kMaxOcclusion[3] = {0, 1, 2};
 constexpr double kMaxTruncation[3] = {0.15, 0.3, 0.5};
 const char* kClassNames[3] = {"car", "pedestrian", "cyclist"};
-constexpr double kMinOverlap[3][3] = {  // [metric][class]
+// [metric][class]; official protocol values. An optional third CLI arg
+// overrides the car column (diagnostic readouts at e.g. 0.5, as the
+// reference ecosystem's python evaluator reports alongside 0.7).
+double kMinOverlap[3][3] = {
     {0.7, 0.5, 0.5}, {0.7, 0.5, 0.5}, {0.7, 0.5, 0.5}};
 
 struct Object {
@@ -445,11 +449,19 @@ void report(const std::string& result_dir, const std::string& name,
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 3) {
-    fprintf(stderr, "usage: %s GT_DIR RESULT_DIR\n", argv[0]);
+  if (argc != 3 && argc != 4) {
+    fprintf(stderr, "usage: %s GT_DIR RESULT_DIR [CAR_MIN_IOU]\n", argv[0]);
     return 1;
   }
   std::string gt_dir = argv[1], result_dir = argv[2];
+  if (argc == 4) {
+    double ov = atof(argv[3]);
+    if (!(ov > 0.0 && ov <= 1.0)) {
+      fprintf(stderr, "CAR_MIN_IOU must be in (0, 1], got %s\n", argv[3]);
+      return 1;
+    }
+    for (int m = 0; m < 3; ++m) kMinOverlap[m][0] = ov;
+  }
 
   // collect frame indices from RESULT_DIR/data
   std::vector<std::string> names;

@@ -29,12 +29,18 @@ def build_evaluator(force: bool = False) -> str:
     return _BIN
 
 
-def run_kitti_eval(gt_dir: str, result_dir: str) -> Dict:
-    """result_dir must contain data/XXXXXX.txt prediction files."""
+def run_kitti_eval(
+    gt_dir: str, result_dir: str, car_min_iou: Optional[float] = None
+) -> Dict:
+    """result_dir must contain data/XXXXXX.txt prediction files.
+
+    ``car_min_iou`` overrides the official 0.7 car threshold (all three
+    metrics) for diagnostic readouts, e.g. AP@0.5."""
     binary = build_evaluator()
-    proc = subprocess.run(
-        [binary, gt_dir, result_dir], capture_output=True, text=True, check=True
-    )
+    cmd = [binary, gt_dir, result_dir]
+    if car_min_iou is not None:
+        cmd.append(str(car_min_iou))
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
     results: Dict[str, Dict] = {}
     for line in proc.stdout.splitlines():
         parts = line.split()

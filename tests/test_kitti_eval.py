@@ -102,6 +102,17 @@ class TestKittiEval:
         assert r["car"]["detection"]["ap40"][0] == pytest.approx(100.0, abs=0.5)
         assert r["car"]["detection_3d"]["ap40"][0] == pytest.approx(0.0, abs=0.1)
 
+    def test_car_min_iou_override(self, dirs):
+        """The same 0.9m shift (3D IoU ~0.62) fails the official 0.7 gate
+        but passes a diagnostic 0.5 override."""
+        gt, res = dirs
+        fill(gt, res, [gt_line(j * 10.0, 20.0) for j in range(4)],
+             [det_line(j * 10.0 + 0.9, 20.0, 0.9 - 0.01 * j) for j in range(4)])
+        r07 = run_kitti_eval(gt, res)
+        r05 = run_kitti_eval(gt, res, car_min_iou=0.5)
+        assert r07["car"]["detection_3d"]["ap40"][0] == pytest.approx(0.0, abs=0.1)
+        assert r05["car"]["detection_3d"]["ap40"][0] == pytest.approx(100.0, abs=0.5)
+
     def test_square_box_rotation_symmetric(self, dirs):
         """90-degree rotation of a square BEV footprint is geometrically
         identical -> BEV AP 100 (exercises the rotated clipping)."""
