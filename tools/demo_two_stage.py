@@ -114,15 +114,23 @@ def train_stereo_stage(args, train_root, log):
     model = StereoNet(cfg)
     state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
     ckpt_dir = os.path.join(args.work_dir, "stereo_ckpt")
-    if args.reuse_stereo and os.path.isdir(ckpt_dir):
+    step0 = 0
+    if os.path.isdir(ckpt_dir):
+        import jax.numpy as jnp
+
         tree, step0 = load_checkpoint(ckpt_dir, state)
         state = state.replace(
+            step=jnp.asarray(step0, jnp.int32),
             params=tree["params"],
             batch_stats=tree.get("batch_stats") or {},
             opt_state=tree["opt_state"],
         )
-        log(f"reusing stage-1 checkpoint at step {step0}")
-        return model, state, cfg
+        if args.reuse_stereo or step0 >= args.stereo_steps:
+            log(f"reusing stage-1 checkpoint at step {step0}")
+            return model, state, cfg
+        # mid-run checkpoint (periodic save below): resume rather than
+        # retrain — a killed/wedged run costs at most ckpt_every steps
+        log(f"resuming stage-1 training from step {step0}")
     step_fn = make_stereo_train_step_split(model, cfg, tc)
     # pre-build all batches once and reuse per epoch: images stay uint8 so
     # even thousands of frames fit host RAM (~3 MB/frame at 384x1248).
@@ -139,14 +147,16 @@ def train_stereo_stage(args, train_root, log):
     log(f"stage 1: {len(ds)} frames, {len(batches)} batches/epoch")
     import numpy as _np
 
-    order_rng = _np.random.default_rng(args.seed + 31)
-    step, t0 = 0, time.time()
+    # resumed runs reshuffle with a step-dependent seed: exact epoch-order
+    # reproducibility across a resume is not a goal, decorrelation is
+    order_rng = _np.random.default_rng(args.seed + 31 + step0)
+    step, t0 = step0, time.time()
     while step < args.stereo_steps:
         order = order_rng.permutation(len(batches))
         for i in order:
             state, metrics = step_fn(state, batches[i])
             step += 1
-            if step == 1:
+            if step == step0 + 1:
                 log(f"first step (compile included): {time.time()-t0:.1f}s")
             if step % args.log_every == 0:
                 log(
@@ -155,6 +165,9 @@ def train_stereo_stage(args, train_root, log):
                         f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
                     )
                 )
+            if step % args.ckpt_every == 0 and step < args.stereo_steps:
+                save_checkpoint(ckpt_dir, state, cfg, step)
+                log(f"checkpoint saved at step {step}")
             if step >= args.stereo_steps:
                 break
     save_checkpoint(ckpt_dir, state, cfg, step)
@@ -298,6 +311,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--ckpt_every", type=int, default=2000,
+                   help="periodic stage-1 checkpoint cadence (steps); a "
+                   "killed run resumes from the last one")
     p.add_argument("--photo_aug", action="store_true",
                    help="per-step view-consistent photometric jitter "
                    "during stage-1 training")
@@ -341,6 +357,11 @@ def main():
     pb = ap_prop["car"]["detection_ground"]["ap40"]
     log(f"AP3D(proposals)  e/m/h: {p3}")
     log(f"APBEV(proposals) e/m/h: {pb}")
+    # diagnostic readout at IoU 0.5 (alongside the official 0.7; the
+    # reference ecosystem's python evaluator reports both)
+    p3_50 = run_kitti_eval(gt_dir, prop_res, car_min_iou=0.5)[
+        "car"]["detection_3d"]["ap40"]
+    log(f"AP3D@0.5(proposals) e/m/h: {p3_50}")
 
     # ---- stage 2: train vernier with matched noise, refine, score -------
     noise_loc, noise_rot = measure_proposal_error(
@@ -355,6 +376,7 @@ def main():
     result = {
         "ap3d_proposals": p3,
         "apbev_proposals": pb,
+        "ap3d_proposals_iou50": p3_50,
         "stereo_steps": args.stereo_steps,
         "vernier_steps": args.vernier_steps,
         "proposal_noise_loc_m": noise_loc,
@@ -369,7 +391,11 @@ def main():
         r3 = ap_ref["car"]["detection_3d"]["ap40"]
         result[f"ap3d_refined_{t}"] = r3
         result[f"apbev_refined_{t}"] = ap_ref["car"]["detection_ground"]["ap40"]
-        log(f"AP3D(refined/{t}) e/m/h: {r3}")
+        result[f"ap3d_refined_{t}_iou50"] = run_kitti_eval(
+            gt_dir, d, car_min_iou=0.5
+        )["car"]["detection_3d"]["ap40"]
+        log(f"AP3D(refined/{t}) e/m/h: {r3}  @0.5: "
+            f"{result[f'ap3d_refined_{t}_iou50']}")
         if best is None or r3[1] > best:
             best = r3[1]
     result["ap3d_moderate_proposals"] = p3[1]
