@@ -138,12 +138,16 @@ def train_stereo_stage(args, train_root, log):
     # of every batch (mirrored world + swapped mirrored views), doubling
     # the epoch without re-decoding images.
     groups = pipe.index_groups()
-    batches = [pipe.make_batch(g).arrays() for g in groups]
+    batches = []
+    for bi, g in enumerate(groups):
+        batches.append(pipe.make_batch(g).arrays())
+        if (bi + 1) % 256 == 0:
+            log(f"built {bi + 1}/{len(groups)} batches")
     if args.augment_flip:
-        batches += [
-            pipe.make_batch(g, flips=[True] * len(g)).arrays()
-            for g in groups
-        ]
+        for bi, g in enumerate(groups):
+            batches.append(pipe.make_batch(g, flips=[True] * len(g)).arrays())
+            if (bi + 1) % 256 == 0:
+                log(f"built {bi + 1}/{len(groups)} flipped batches")
     log(f"stage 1: {len(ds)} frames, {len(batches)} batches/epoch")
     import numpy as _np
 
