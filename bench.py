@@ -139,6 +139,42 @@ def emit_stereo(iters: int):
     )
 
 
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.asarray(np.random.rand(256, 256).astype("float32"))
+jax.jit(lambda a: (a @ a).sum())(x).block_until_ready()
+print("ok")
+"""
+
+
+def check_tpu_reachable(timeout_s: float = 360.0):
+    """Fail fast when the axon tunnel is wedged/down.
+
+    A dead tunnel makes the first device op block forever (observed
+    2026-08-17: service-side outage froze a run mid-loop at 0% CPU); a
+    bounded subprocess probe turns an indefinite hang into a clear
+    non-zero exit within minutes.  Skipped off-axon (CPU/TPU-direct)."""
+    import subprocess
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        sys.exit(
+            "bench: TPU unreachable (device probe hung %.0fs; axon tunnel "
+            "down or wedged) — no metrics emitted" % timeout_s
+        )
+    except subprocess.CalledProcessError as e:
+        sys.exit(
+            "bench: device probe failed — no metrics emitted\n"
+            + e.stderr.decode(errors="replace")[-2000:]
+        )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument(
@@ -147,6 +183,8 @@ def main():
     p.add_argument("--model", default="vernier", choices=["vernier", "stereo"])
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
+
+    check_tpu_reachable()
 
     if args.config == "all":
         # full driver surface: three JSON lines
