@@ -69,9 +69,13 @@ def build(config: str):
     return cfg
 
 
-def bench_stereo(iters: int):
+def bench_stereo(iters: int, batch: int = 1):
     """Global-model throughput: stereo pairs/sec/chip on KITTI-sized
-    inputs (the SURVEY north-star for the main scale)."""
+    inputs (the SURVEY north-star for the main scale).
+
+    ``batch`` > 1 amortizes per-dispatch overhead and deepens MXU
+    batching for offline/throughput-oriented serving; the driver metric
+    stays batch=1 (online per-frame latency regime)."""
     import contextlib
 
     import jax
@@ -85,10 +89,14 @@ def bench_stereo(iters: int):
     model = StereoNet(cfg)
     H, W = cfg.input_size
     rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
-    right = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
-    Pl = jnp.asarray(Calibration.default().as_array()[None])
-    Pr = jnp.asarray(Calibration.default_right().as_array()[None])
+    left = jnp.asarray(rng.standard_normal((batch, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((batch, H, W, 3)), jnp.float32)
+    Pl = jnp.asarray(
+        np.repeat(Calibration.default().as_array()[None], batch, axis=0)
+    )
+    Pr = jnp.asarray(
+        np.repeat(Calibration.default_right().as_array()[None], batch, axis=0)
+    )
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -122,12 +130,13 @@ def bench_stereo(iters: int):
     return 1.0 / ts[len(ts) // 2]
 
 
-def emit_stereo(iters: int):
-    pps = bench_stereo(iters)
+def emit_stereo(iters: int, batch: int = 1):
+    pps = bench_stereo(iters, batch) * batch
+    metric = "stereonet_throughput" + (f"_b{batch}" if batch != 1 else "")
     print(
         json.dumps(
             {
-                "metric": "stereonet_throughput",
+                "metric": metric,
                 "value": round(pps, 2),
                 "unit": "stereo_pairs/sec/chip",
                 "vs_baseline": round(pps / 1.0, 3),
@@ -182,6 +191,9 @@ def main():
     )
     p.add_argument("--model", default="vernier", choices=["vernier", "stereo"])
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--batch", type=int, default=1,
+                   help="stereo-model batch size (throughput serving A/B; "
+                   "the driver metric stays batch=1)")
     args = p.parse_args()
 
     check_tpu_reachable()
@@ -193,7 +205,7 @@ def main():
         emit_stereo(args.iters)
         return
     if args.model == "stereo":
-        emit_stereo(args.iters)
+        emit_stereo(args.iters, args.batch)
         return
     bench_vernier(args.config, args.iters)
 
