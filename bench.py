@@ -189,7 +189,9 @@ def main():
     p.add_argument(
         "--config", default="all", choices=["all", "tiny", "small", "flagship"]
     )
-    p.add_argument("--model", default="vernier", choices=["vernier", "stereo"])
+    p.add_argument("--model", default=None, choices=["vernier", "stereo"],
+                   help="narrow to one model (default: the full surface "
+                   "when --config all, else vernier)")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--batch", type=int, default=1,
                    help="stereo-model batch size (throughput serving A/B; "
@@ -198,14 +200,19 @@ def main():
 
     check_tpu_reachable()
 
+    # an explicit --model always wins; the bare/--config-all invocation is
+    # the driver's full three-line surface
+    if args.model == "stereo":
+        emit_stereo(args.iters, args.batch)
+        return
+    if args.batch != 1:
+        sys.exit("bench: --batch applies to the stereo model; pass "
+                 "--model stereo")
     if args.config == "all":
         # full driver surface: three JSON lines
         bench_vernier("small", args.iters)
         bench_vernier("flagship", args.iters)
         emit_stereo(args.iters)
-        return
-    if args.model == "stereo":
-        emit_stereo(args.iters, args.batch)
         return
     bench_vernier(args.config, args.iters)
 

@@ -24,6 +24,10 @@ from snvc_tpu.geometry.calib import Calibration, KittiLabel, format_label, ry_to
 
 IMG_H, IMG_W = 375, 1242
 GROUND_Y = 1.7  # ground-plane height (rect frame); renderer + LiDAR agree
+# bump on ANY behavior change to the renderer: reuse stamps embed it, so
+# stale trees re-render instead of silently feeding old pixels (the round-3
+# texture-memorization postmortem is what this guards)
+SYNTH_VERSION = 3
 
 
 def _calib_text() -> str:
@@ -210,19 +214,33 @@ def make_synthetic_kitti(
     """Write a synthetic KITTI tree under ``root``; returns per-frame GT
     box arrays.
 
-    With ``reuse`` (default), a complete existing tree of the same frame
-    count is loaded back instead of re-rendered — big train sets (the
-    streaming-regime detection runs use thousands of frames at ~1 s/frame
-    render cost) survive across invocations.  Pass reuse=False after
-    changing the renderer."""
+    With ``reuse`` (default), a complete existing tree rendered with the
+    SAME parameters is loaded back instead of re-rendered — big train
+    sets (the streaming-regime detection runs use thousands of frames at
+    ~1 s/frame render cost) survive across invocations.  A stamp file
+    (``<split>.stamp.json``) records (seed, boxes_per_frame, num_frames,
+    renderer version); any mismatch — different seed, different box
+    count, renderer change — re-renders rather than silently returning
+    stale data under the new parameters' name."""
     import cv2
 
     base = os.path.join(root, "training")
     split_file = os.path.join(root, split + ".txt")
-    if reuse and os.path.isfile(split_file):
+    stamp_file = os.path.join(root, split + ".stamp.json")
+    stamp = {
+        "seed": int(seed),
+        "boxes_per_frame": int(boxes_per_frame),
+        "num_frames": int(num_frames),
+        "renderer": SYNTH_VERSION,
+    }
+    if reuse and os.path.isfile(split_file) and os.path.isfile(stamp_file):
+        import json
+
+        with open(stamp_file) as f:
+            have = json.load(f)
         names = [ln.strip() for ln in open(split_file) if ln.strip()]
         last = names[-1] if names else ""
-        if len(names) == num_frames and os.path.isfile(
+        if have == stamp and len(names) == num_frames and os.path.isfile(
             os.path.join(base, "image_3", last + ".png")
         ):
             out = []
@@ -302,6 +320,10 @@ def make_synthetic_kitti(
 
     with open(os.path.join(root, split + ".txt"), "w") as f:
         f.write("\n".join(f"{i:06d}" for i in range(num_frames)) + "\n")
+    import json
+
+    with open(stamp_file, "w") as f:
+        json.dump(stamp, f)
     return all_boxes
 
 

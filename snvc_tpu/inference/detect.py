@@ -146,6 +146,12 @@ class DetectRunner:
             self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
             self._enc_vars = _jax.device_put(self._enc_vars, replicated)
             self._head_vars = _jax.device_put(self._head_vars, replicated)
+        else:
+            # callers pass host trees (device_get'd params); pin them on
+            # device ONCE — numpy args to a jitted fn re-upload per dispatch,
+            # i.e. the whole parameter set would cross the link every frame
+            self._enc_vars = _jax.device_put(self._enc_vars)
+            self._head_vars = _jax.device_put(self._head_vars)
 
         @_jax.jit
         def run_encoder(vars_, b):

@@ -116,6 +116,10 @@ class RefineRunner:
             self.params = jax.device_put(
                 params, NamedSharding(mesh, PartitionSpec())
             )
+        else:
+            # pin host param trees on device once: numpy args to a jitted
+            # fn re-upload per dispatch (whole param set, every batch)
+            self.params = jax.device_put(params)
         self.encoder = VernierEncoder(cfg)
         self.head = VernierHead(cfg)
         self._progs = {}

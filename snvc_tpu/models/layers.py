@@ -187,12 +187,12 @@ class Conv3d(nn.Module):
         # (tools/bench_conv3d.py, BENCH.md) — parameters are identical
         # either way, so checkpoints are unaffected.
         mode = os.environ.get("SNVC_FOLD_DEPTH", self.fold_depth)
-        fold = mode == "always" or (
-            mode == "auto"
-            and sd == 1
-            and kd > 1
-            and C < 128
-            and kd * C <= 256
+        # sd == 1 gates "always" too: _fold_depth_conv is the unit-depth-
+        # stride formulation, so depth-strided convs (Hourglass downs,
+        # vernier compress) always take the per-tap path regardless of mode
+        fold = sd == 1 and kd > 1 and (
+            mode == "always"
+            or (mode == "auto" and C < 128 and kd * C <= 256)
         )
         # implicit-GEMM Pallas kernel for the hot k3^3/s1/d1 shape: full
         # 27C-deep MXU contraction at ~1x HBM traffic (the im2col fold

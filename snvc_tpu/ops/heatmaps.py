@@ -97,15 +97,23 @@ def soft_argmax_2d_ref(heatmaps):
     exactly zero weight — near a sharp peak this decode converges to the
     hard argmax while recovering sub-voxel offsets.
 
+    Heatmaps entirely at/below the floor have zero total weight; the
+    expectation would silently decode to index (0, 0) — the grid corner —
+    so those fall back to the hard argmax (which the reference's caller
+    reaches via its own score gating, img_proc.get_max_preds).
+
     Returns (xy [N, P, 2] float indices, maxval [N, P])."""
     N, P, Hm, Wm = heatmaps.shape
     flat = heatmaps.reshape(N, P, -1).astype(jnp.float32)
     maxval = jnp.max(flat, axis=-1)
     w = jnp.exp(jax.nn.relu(flat - 0.01)) - 1.0
-    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
-    w = w.reshape(N, P, Hm, Wm)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    w = (w / jnp.maximum(wsum, 1e-12)).reshape(N, P, Hm, Wm)
     xs = jax.lax.broadcasted_iota(jnp.float32, (Hm, Wm), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (Hm, Wm), 0)
     x = jnp.sum(w * xs, axis=(-1, -2))
     y = jnp.sum(w * ys, axis=(-1, -2))
-    return jnp.stack([x, y], axis=-1), maxval
+    soft = jnp.stack([x, y], axis=-1)
+    hard, _ = hard_argmax_2d(heatmaps)
+    flat_mask = (wsum[..., 0] <= 0.0)[..., None]
+    return jnp.where(flat_mask, hard, soft), maxval

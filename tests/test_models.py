@@ -185,7 +185,10 @@ class TestConv3dDecomposition:
             ((2, 2, 2), (1, 1, 1), 3),
         ],
     )
-    @pytest.mark.parametrize("fold", ["never", "auto"])
+    # "always" must also be safe on every variant: depth-strided convs
+    # (Hourglass downs, vernier compress) fall back to the per-tap path
+    # rather than applying the unit-depth-stride fold formulation
+    @pytest.mark.parametrize("fold", ["never", "auto", "always"])
     def test_matches_native_conv3d(self, rng, kernel, stride, dilation, fold):
         """Reference point: native Conv3D with the torch-symmetric padding
         ((k-1)//2 * dil per side, the same formula as ConvNorm / torch

@@ -245,6 +245,20 @@ class TestRegistration:
         xy, _ = soft_argmax_2d_ref(ncf)
         np.testing.assert_allclose(np.asarray(xy)[0, 0], [10.5, 14.5], atol=0.05)
 
+    def test_soft_argmax_flat_heatmap_falls_back_to_hard(self, rng):
+        """Heatmaps entirely at/below the 0.01 weight floor have zero soft
+        weight; the decode must fall back to the hard argmax instead of
+        collapsing to index (0, 0) — a systematic worst-case shift toward
+        the grid corner for low-confidence NCFs inside the Filter gate."""
+        from snvc_tpu.ops.heatmaps import soft_argmax_2d_ref
+
+        hm = np.full((1, 2, 8, 8), -0.5, np.float32)
+        hm[0, 0, 5, 3] = 0.009  # below the floor but the max
+        hm[0, 1, 2, 6] = 0.5  # normal peak for contrast
+        xy, _ = soft_argmax_2d_ref(jnp.asarray(hm))
+        np.testing.assert_allclose(np.asarray(xy)[0, 0], [3.0, 5.0], atol=0)
+        np.testing.assert_allclose(np.asarray(xy)[0, 1], [6.0, 2.0], atol=0.05)
+
     def test_filter_thresholds_configurable(self, rng):
         """filter_min/filter_max come from config now; a gate widened to
         accept the same out-of-range heatmap keeps the update."""

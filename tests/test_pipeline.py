@@ -75,6 +75,22 @@ class TestDataLayer:
                                         seed=3)
             assert len(made) == 1 and made[0].shape == (1, 7)
 
+    def test_synthetic_reuse_rejects_parameter_mismatch(self, tmp_path):
+        """A complete tree rendered with DIFFERENT parameters (seed, box
+        count, renderer version) must re-render, not silently return stale
+        data under the new parameters' name (the stamp file pins this)."""
+        root = str(tmp_path)
+        boxes = make_synthetic_kitti(root, num_frames=1, boxes_per_frame=2,
+                                     seed=0)
+        img0 = os.path.join(root, "training", "image_2", "000000.png")
+        mtime = os.path.getmtime(img0)
+        again = make_synthetic_kitti(root, num_frames=1, boxes_per_frame=2,
+                                     seed=7)
+        assert os.path.getmtime(img0) != mtime, "stale tree was reused"
+        assert not np.allclose(again[0], boxes[0], atol=1e-2), (
+            "seed change must change the scenes"
+        )
+
     def test_dataset_and_scene(self, kitti_root):
         root, _, boxes = kitti_root
         ds = KittiDataset(root, "val")

@@ -215,7 +215,9 @@ def main():
                    help="detector proposal txt dir (IDA-3D / RTS-3D / ours)")
     p.add_argument("--out_dir", default="outputs/epoch80_validation")
     p.add_argument("--backbone", default="hrnet-w48")
-    p.add_argument("--gn", action="store_true", default=True)
+    p.add_argument("--gn", action=argparse.BooleanOptionalAction, default=True,
+                   help="GroupNorm 3D/BEV stacks (release default); "
+                   "--no-gn for BatchNorm-stack checkpoints")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--work_dir", default="/tmp/validate_epoch80")
     p.add_argument("--selftest", action="store_true",
