@@ -101,9 +101,21 @@ class StereoEncoder(nn.Module):
 
 
 class StereoHead(nn.Module):
-    """Cost volume -> 3D stack -> depth regression + BEV RPN head."""
+    """Cost volume -> 3D stack -> depth regression + BEV RPN head.
+
+    ``volume_sharding`` (a jax.sharding.NamedSharding, typically
+    P("data", "model")) enables tensor parallelism over the plane-sweep
+    DEPTH axis — the global model's memory/FLOP-dominant structure and
+    the survey's long-context analog (SURVEY.md §5): each model shard
+    holds a contiguous slab of depth planes, the 3D convs partition with
+    k=3 halo exchange along D, the depth softmax psums across shards,
+    and GSPMD inserts one gather of the compact post-stack volume for
+    the frustum resample.  The Pallas frustum path is skipped under
+    depth sharding (a pallas_call cannot be partitioned by GSPMD); the
+    XLA resample partitions instead."""
 
     cfg: StereoConfig
+    volume_sharding: Any = None
 
     @property
     def dtype(self):
@@ -143,6 +155,8 @@ class StereoHead(nn.Module):
 
         vol = jax.vmap(one_volume)(lf, rf, shifts.astype(jnp.float32))
         # [N, D, Hf, Wf, 2C]
+        if self.volume_sharding is not None:
+            vol = jax.lax.with_sharding_constraint(vol, self.volume_sharding)
 
         g = 32
         vol = nn.relu(ConvNorm3d(32, 3, gn=cfg.gn, groups=g, dtype=dt)(vol, train))
@@ -165,7 +179,9 @@ class StereoHead(nn.Module):
         if cfg.rpn3d_enable:
             nz, nx = cfg.bev_size
             ny = cfg.ny
-            if frustum_pallas_available(vol.shape[2], vol.shape[3], vol.shape[4]):
+            if self.volume_sharding is None and frustum_pallas_available(
+                vol.shape[2], vol.shape[3], vol.shape[4]
+            ):
                 zs = cfg.z_min + (np.arange(nz) + 0.5) * cfg.voxel_z
                 xs = cfg.x_min + (np.arange(nx) + 0.5) * cfg.voxel_x
                 ys = cfg.y_min + (np.arange(ny) + 0.5) * cfg.voxel_y
@@ -211,10 +227,11 @@ class StereoNet(nn.Module):
     """
 
     cfg: StereoConfig
+    volume_sharding: Any = None
 
     def setup(self):
         self.encoder = StereoEncoder(self.cfg)
-        self.head = StereoHead(self.cfg)
+        self.head = StereoHead(self.cfg, volume_sharding=self.volume_sharding)
 
     def __call__(self, left, right, P_left, P_right, train: bool = False):
         """left/right: [N, H, W, 3] normalized images; P_*: [N, 3, 4].

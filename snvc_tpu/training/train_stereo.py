@@ -179,7 +179,7 @@ def make_stereo_train_step_split(
     assert cfg.gn, "split training requires a GroupNorm (BatchNorm-free) head"
     locations = jnp.asarray(bev_locations(cfg))
     encoder = StereoEncoder(cfg)
-    head = StereoHead(cfg)
+    head = StereoHead(cfg, volume_sharding=_volume_sharding(mesh))
 
     def enc_fwd(enc_params, enc_stats, img_l_u8, img_r_u8, step):
         left, right = augment_normalize(img_l_u8, img_r_u8, cfg, step)
@@ -296,9 +296,23 @@ def make_stereo_train_step_split(
     return step
 
 
+def _volume_sharding(mesh):
+    """Depth-axis tensor-parallel sharding for the plane-sweep volume when
+    the mesh has a "model" axis: P("data", "model") over [N, D, Hf, Wf, C]
+    (StereoHead.volume_sharding docstring; vernier voxel analog)."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def make_stereo_train_step(model: StereoNet, cfg: StereoConfig, tc: TrainConfig,
                            mesh=None):
     locations = jnp.asarray(bev_locations(cfg))
+    vs = _volume_sharding(mesh)
+    if vs is not None:
+        import dataclasses
+
+        model = dataclasses.replace(model, volume_sharding=vs)
     fn = functools.partial(
         stereo_train_step, model=model, cfg=cfg, tc=tc, locations=locations
     )

@@ -236,6 +236,38 @@ class TestStereoTraining:
         b = jax.tree_util.tree_leaves(ref_state.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_depth_tensor_parallel_step_matches_unsharded(self, kitti_root):
+        """Depth-axis tensor parallelism (StereoHead.volume_sharding over
+        the plane-sweep D axis, mesh data2 x model4): the sharded split
+        train step must reproduce the unsharded step's loss and update —
+        GSPMD partitions the 3D stack with halo exchange along D and
+        psums the depth softmax, changing nothing numerically beyond
+        reduction order."""
+        from snvc_tpu.parallel.api import make_mesh
+        from snvc_tpu.training.train_stereo import make_stereo_train_step_split
+
+        cfg = _cfg()
+        assert cfg.num_depths % 4 == 0
+        tc = TrainConfig(lr=3e-4, warmup_steps=1, total_steps=20, grad_clip=5.0)
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=2, max_gt=8)
+        batch = next(pipe.batches()).arrays()
+        mesh = make_mesh(n_data=2, n_model=4)
+        model = StereoNet(cfg)
+        state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        ref_state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        step = make_stereo_train_step_split(model, cfg, tc, mesh=mesh)
+        ref_step = make_stereo_train_step_split(model, cfg, tc)
+        state, m = step(state, batch)
+        ref_state, ref_m = ref_step(ref_state, batch)
+        assert np.isfinite(float(m["total"]))
+        np.testing.assert_allclose(
+            float(m["total"]), float(ref_m["total"]), rtol=1e-4
+        )
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(ref_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 class TestScaledLoading:
     def test_load_image_scaled_geometry(self, kitti_root):
