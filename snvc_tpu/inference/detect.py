@@ -127,16 +127,20 @@ class DetectRunner:
         """``mesh``: a jax.sharding.Mesh with a "data" axis for
         data-parallel serving — params replicate, every batch array
         shards on its leading (frame) axis, and XLA partitions both
-        programs with no code change (batch_size must divide the axis)."""
+        programs with no code change (batch_size must divide the axis).
+        A "model" axis > 1 additionally shards the plane-sweep volume's
+        depth axis (StereoHead.volume_sharding): serving-side tensor
+        parallelism for grids too large for one chip."""
         import jax as _jax
 
         from snvc_tpu.models.stereonet import StereoEncoder, StereoHead
         from snvc_tpu.models.vernier import scope_variables
-        from snvc_tpu.training.train_stereo import normalize_images
+        from snvc_tpu.training.train_stereo import _volume_sharding, normalize_images
 
         self.cfg = cfg
         self.mesh = mesh
-        encoder, head = StereoEncoder(cfg), StereoHead(cfg)
+        encoder = StereoEncoder(cfg)
+        head = StereoHead(cfg, volume_sharding=_volume_sharding(mesh))
         self._enc_vars = scope_variables(variables, "encoder")
         self._head_vars = scope_variables(variables, "head")
         if mesh is not None:

@@ -64,6 +64,25 @@ def test_detect_runner_data_parallel_matches_single_device(tmp_path):
     sharded = run(mesh, 2, "props_dp2")
     assert sharded == single
 
+    # dp x depth-tp serving: the plane-sweep depth axis shards over
+    # "model" (StereoHead.volume_sharding); psum/halo reduction
+    # reordering moves floats at ~1e-5, so compare the decoded numbers
+    # with tolerance instead of bytes
+    tp_mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    tp = run(tp_mesh, 2, "props_dp2tp4")
+    assert tp.keys() == single.keys()
+    for f in single:
+        a_lines = single[f].strip().splitlines()
+        b_lines = tp[f].strip().splitlines()
+        assert len(a_lines) == len(b_lines), f
+        for la, lb in zip(a_lines, b_lines):
+            ta, tb = la.split(), lb.split()
+            assert ta[0] == tb[0], f
+            np.testing.assert_allclose(
+                [float(x) for x in ta[1:]], [float(x) for x in tb[1:]],
+                atol=5e-3, err_msg=f,
+            )
+
 
 @pytest.mark.slow
 def test_two_stage_pipeline(tmp_path):
