@@ -43,6 +43,9 @@ def main():
     p.add_argument("--photometric_aug", action="store_true",
                    help="per-step view-consistent color jitter + PCA "
                    "lighting (reference preprocess.py:21-179)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in "
+                   "model_dir (params, optimizer state, step counter)")
     args = p.parse_args()
 
     import jax
@@ -52,7 +55,7 @@ def main():
     from snvc_tpu.data.stereo_pipeline import StereoPipeline
     from snvc_tpu.models.stereonet import StereoNet
     from snvc_tpu.parallel.api import make_mesh
-    from snvc_tpu.training.train import save_checkpoint
+    from snvc_tpu.training.train import load_checkpoint, save_checkpoint
     from snvc_tpu.training.train_stereo import (
         create_stereo_state,
         make_stereo_train_step,
@@ -79,6 +82,18 @@ def main():
                           augment_flip=args.augment_flip, seed=args.seed)
     model = StereoNet(cfg)
     state = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
+    start_step = 0
+    if args.resume and os.path.isdir(exp.checkpoint_dir):
+        import jax.numpy as jnp
+
+        tree, start_step = load_checkpoint(exp.checkpoint_dir, state)
+        state = state.replace(
+            step=jnp.asarray(start_step, jnp.int32),
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats") or {},
+            opt_state=tree["opt_state"],
+        )
+        log.info("resumed from step %d", start_step)
     n_dev = len(jax.devices())
     mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
     make_fn = (
@@ -87,7 +102,7 @@ def main():
     )
     step_fn = make_fn(model, cfg, tc, mesh=mesh)
 
-    step = 0
+    step = start_step
     while step < tc.total_steps:
         for batch in pipe.batches(shuffle=True, seed=args.seed + step):
             state, metrics = step_fn(state, batch.arrays())
