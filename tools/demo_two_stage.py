@@ -248,7 +248,12 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
     from snvc_tpu.inference.kitti_writer import PredictionWriter
     from snvc_tpu.inference.refine import RefineRunner
     from snvc_tpu.models.vernier import VernierScale
-    from snvc_tpu.training.train import create_train_state, make_train_step
+    from snvc_tpu.training.train import (
+        create_train_state,
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+    )
 
     tc = TrainConfig(lr=args.vernier_lr, warmup_steps=50,
                      total_steps=args.vernier_steps)
@@ -257,9 +262,25 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
     pipe = RefinementPipeline(db, vcfg, training=True, seed=args.seed)
     model = VernierScale(vcfg)
     state = create_train_state(model, vcfg, tc, jax.random.PRNGKey(args.seed))
-    step_fn = make_train_step(model, vcfg, tc)
-    rng = jax.random.PRNGKey(args.seed + 7)
+    # same outage insurance as stage 1: resume from the newest periodic
+    # checkpoint instead of restarting the ~vernier_steps-long phase
+    ckpt_dir = os.path.join(args.work_dir, "vernier_ckpt")
     step = 0
+    if os.path.isdir(ckpt_dir):
+        import jax.numpy as jnp
+
+        tree, step = load_checkpoint(ckpt_dir, state)
+        state = state.replace(
+            step=jnp.asarray(step, jnp.int32),
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats") or {},
+            opt_state=tree["opt_state"],
+        )
+        log(f"resuming vernier training from step {step}")
+    step_fn = make_train_step(model, vcfg, tc)
+    # resumed runs fork the noise/shuffle stream by the restored step:
+    # decorrelation, not exact replay (same policy as stage 1)
+    rng = jax.random.PRNGKey(args.seed + 7 + step)
     while step < args.vernier_steps:
         for batch in pipe.batches(shuffle=True):
             rng, sub = jax.random.split(rng)
@@ -272,8 +293,12 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
                         f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
                     )
                 )
+            if step % args.vernier_ckpt_every == 0 and step < args.vernier_steps:
+                save_checkpoint(ckpt_dir, state, vcfg, step)
+                log(f"vernier checkpoint saved at step {step}")
             if step >= args.vernier_steps:
                 break
+    save_checkpoint(ckpt_dir, state, vcfg, step)
 
     params = {"params": jax.device_get(state.params)}
     if state.batch_stats:
@@ -318,6 +343,8 @@ def main():
     p.add_argument("--ckpt_every", type=int, default=2000,
                    help="periodic stage-1 checkpoint cadence (steps); a "
                    "killed run resumes from the last one")
+    p.add_argument("--vernier_ckpt_every", type=int, default=500,
+                   help="periodic stage-2 (vernier) checkpoint cadence")
     p.add_argument("--photo_aug", action="store_true",
                    help="per-step view-consistent photometric jitter "
                    "during stage-1 training")
@@ -332,6 +359,10 @@ def main():
     p.add_argument("--reuse_stereo", action="store_true",
                    help="load work_dir/stereo_ckpt instead of retraining "
                    "stage 1 (iterating on detection/refinement)")
+    p.add_argument("--reuse_proposals", action="store_true",
+                   help="skip stage 1 entirely and score/refine the "
+                   "proposals already in work_dir/proposals (restarting "
+                   "after a stage-2 interruption)")
     args = p.parse_args()
 
     from snvc_tpu.data.synthetic import make_synthetic_kitti
@@ -352,9 +383,17 @@ def main():
                          seed=args.seed + 1000, split="val")
 
     # ---- stage 1: train + detect + score --------------------------------
-    smodel, sstate, scfg = train_stereo_stage(args, train_root, log)
     prop_res = os.path.join(args.work_dir, "proposals")
-    vds = detect_stage(args, smodel, sstate, scfg, val_root, prop_res, log)
+    prop_data = os.path.join(prop_res, "data")
+    if (args.reuse_proposals and os.path.isdir(prop_data)
+            and len(os.listdir(prop_data)) >= args.val_frames):
+        from snvc_tpu.data.kitti import KittiDataset
+
+        log(f"reusing proposals in {prop_data}")
+        vds = KittiDataset(val_root, "val")
+    else:
+        smodel, sstate, scfg = train_stereo_stage(args, train_root, log)
+        vds = detect_stage(args, smodel, sstate, scfg, val_root, prop_res, log)
     gt_dir = vds.label_dir
     ap_prop = run_kitti_eval(gt_dir, prop_res)
     p3 = ap_prop["car"]["detection_3d"]["ap40"]
