@@ -205,9 +205,11 @@ class VernierConfig(_Base):
     frames_per_batch: int = 1
     image_size: Tuple[int, int] = (384, 1280)  # full-frame pad size (H, W)
     # --- pose update / output ---
-    # NCF -> part position decode: "argmax" (reference get_max_preds) or
-    # "soft-argmax" (reference img_proc.soft_arg_max — sub-voxel decode)
-    ncf_decode: str = "argmax"
+    # NCF -> part position decode: "coordinates" (reference CLI behavior —
+    # use the part-reg head when present, else heatmap argmax), "argmax"
+    # (force reference get_max_preds even when the head exists), or
+    # "soft-argmax" (img_proc.soft_arg_max — sub-voxel expectation decode)
+    ncf_decode: str = "coordinates"
     # Filter gate: heatmap values outside [filter_min, filter_max] mark an
     # implausible prediction and the update is rejected
     # (tools/inference_agnostic.py:94-105)

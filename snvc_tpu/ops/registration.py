@@ -82,13 +82,20 @@ def ncf_to_update(
     ncf: [N, P, nl, nw] BEV heatmaps (rows = z/length, cols = x/width).
     samples: [N, 7] current proposals (h, w, l, x, y, z, ry).
     coordinates: optional [N, P, 2] normalized (x, z) part coordinates from
-      the coord head; if given they replace the argmax decode
-      (vernier.py:688-692).
-    decode: "argmax" (reference default, img_proc.get_max_preds) or
-      "soft-argmax" (reference img_proc.soft_arg_max:656-692 — sub-voxel
-      expectation decode); filter_min/filter_max are the Filter gate's
-      plausible-heatmap-value range, surfaced through
-      cfg.filter_min/filter_max.
+      the coord head (vernier.py:688-692).
+    decode selects the part-position source:
+      * "coordinates" — use the coord head when its output is given,
+        falling back to heatmap argmax when it is not.  This is the
+        reference CLI's behavior (inference_agnostic.py:396-402 passes
+        `coordinates` whenever the head exists).
+      * "argmax" (reference img_proc.get_max_preds) or "soft-argmax"
+        (img_proc.soft_arg_max:656-692 — sub-voxel expectation): decode
+        the NCF heatmaps even when a coord head is present.  The argmax
+        is winner-take-all, so it stays informative in regimes where a
+        small-noise-trained regression head collapses to the mean.
+    filter_min/filter_max are the Filter gate's plausible-heatmap-value
+    range (tools/inference_agnostic.py:94-105), surfaced through
+    cfg.filter_min/filter_max.
     Returns refined boxes; where the filter rejects, the sample is
     returned unchanged.
     """
@@ -101,7 +108,7 @@ def ncf_to_update(
 
     x0, x1 = x_range
     z0, z1 = z_range
-    if coordinates is not None:
+    if coordinates is not None and decode == "coordinates":
         off_x = x0 + coordinates[..., 0] * (x1 - x0)
         off_z = z0 + coordinates[..., 1] * (z1 - z0)
     else:

@@ -209,6 +209,43 @@ class TestRegistration:
         assert not bool(np.asarray(upd.keep)[0])
         np.testing.assert_allclose(np.asarray(upd.all_parts)[0], sample, atol=0)
 
+    def test_decode_source_precedence(self, rng):
+        """cfg.ncf_decode picks the part-position source: "coordinates"
+        (reference CLI behavior, inference_agnostic.py:396-402) uses the
+        coord head when given; "argmax"/"soft-argmax" force the heatmap
+        decode even when a coord head output is present — the hatch for
+        regimes where a small-noise regression head collapses to the
+        mean while the NCF peaks stay informative."""
+        nw = nl = 33
+        x_range = z_range = (-1.6, 1.6)
+        centers = rng.integers(4, 28, size=(1, 9, 2)).astype(np.float32)
+        ncf = bev_part_heatmaps(jnp.array(centers), (nw, nl), sigma=1)
+        sample = random_box(rng)[None]
+        # a coord head output pinned to the grid center (normalized 0.5)
+        coords = jnp.full((1, 9, 2), 0.5)
+        upd_coord = ncf_to_update(
+            ncf, jnp.array(sample), x_range, z_range,
+            coordinates=coords, decode="coordinates",
+        )
+        upd_forced = ncf_to_update(
+            ncf, jnp.array(sample), x_range, z_range,
+            coordinates=coords, decode="argmax",
+        )
+        upd_heat = ncf_to_update(ncf, jnp.array(sample), x_range, z_range)
+        # forced argmax ignores the coord head entirely
+        np.testing.assert_allclose(
+            np.asarray(upd_forced.all_parts), np.asarray(upd_heat.all_parts),
+            atol=0,
+        )
+        # "coordinates" uses it: all parts at grid center => zero offsets
+        # => one_part keeps the (x, z) center exactly
+        one = np.asarray(upd_coord.one_part)[0]
+        np.testing.assert_allclose(one[[3, 5]], sample[0][[3, 5]], atol=1e-5)
+        # and they genuinely differ from the heatmap decode here
+        assert not np.allclose(
+            np.asarray(upd_coord.all_parts), np.asarray(upd_heat.all_parts)
+        )
+
     def test_soft_argmax_decode_matches_argmax_at_sharp_peaks(self, rng):
         """cfg.ncf_decode='soft-argmax' (reference img_proc.soft_arg_max)
         must agree with the hard decode when the heatmap peaks are sharp —

@@ -298,7 +298,9 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
                 log(f"vernier checkpoint saved at step {step}")
             if step >= args.vernier_steps:
                 break
-    save_checkpoint(ckpt_dir, state, vcfg, step)
+    # resume-skip relaunches land here with `step` already checkpointed
+    if not os.path.isdir(os.path.join(ckpt_dir, str(step))):
+        save_checkpoint(ckpt_dir, state, vcfg, step)
 
     params = {"params": jax.device_get(state.params)}
     if state.batch_stats:
@@ -306,6 +308,7 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
     infer_cfg = vcfg.replace(
         usage="inference", sup_type="real", augment=False,
         pred_type=("one_part", "all_parts"),
+        ncf_decode=args.ncf_decode,
     )
     vds = KittiDataset(val_root, "val")
     vdb = build_db_from_predictions(vds, infer_cfg, pred_dir)
@@ -345,6 +348,14 @@ def main():
                    "killed run resumes from the last one")
     p.add_argument("--vernier_ckpt_every", type=int, default=500,
                    help="periodic stage-2 (vernier) checkpoint cadence")
+    p.add_argument("--ncf_decode", default="argmax",
+                   choices=["coordinates", "argmax", "soft-argmax"],
+                   help="part-position source for the pose update: the "
+                   "coord head (reference CLI behavior) or the NCF "
+                   "heatmap decode — under small matched noise the "
+                   "regression head collapses to the mean while the "
+                   "winner-take-all heatmap peak stays informative "
+                   "(tools/diagnose_refinement.py measures both)")
     p.add_argument("--photo_aug", action="store_true",
                    help="per-step view-consistent photometric jitter "
                    "during stage-1 training")
