@@ -71,6 +71,8 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--ncf_decode", default="argmax",
+                   choices=["coordinates", "argmax", "soft-argmax"])
     args = p.parse_args()
 
     import jax
@@ -125,8 +127,12 @@ def main():
     params = {"params": jax.device_get(state.params)}
     if state.batch_stats:
         params["batch_stats"] = jax.device_get(state.batch_stats)
+    # argmax decode: under small per-frame motion the coord head collapses
+    # to the mean (predicts "no change") and the tracker drifts with the
+    # prior — the winner-take-all NCF peak stays informative
+    # (tools/diagnose_refinement.py; docs/TWO_STAGE.md decode diagnosis)
     infer_cfg = cfg.replace(usage="inference", sup_type="real", augment=False,
-                            max_instances=1)
+                            max_instances=1, ncf_decode=args.ncf_decode)
     runner = RefineRunner(model, params, infer_cfg)
     tracker = Tracker(runner, infer_cfg)
     sds = KittiDataset(seq_root, "val")
