@@ -323,7 +323,7 @@ class TestRegistration:
         ncf = jnp.zeros((1, 9, 8, 8))
         upd = ncf_to_update(
             ncf, jnp.array(sample[None]), x_range, z_range,
-            coordinates=jnp.array(coords),
+            coordinates=jnp.array(coords), decode="coordinates",
         )
         got = np.asarray(upd.all_parts)[0]
         np.testing.assert_allclose(got[3], sample[3], atol=5e-3)
