@@ -73,6 +73,12 @@ def main():
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--ncf_decode", default="argmax",
                    choices=["coordinates", "argmax", "soft-argmax"])
+    p.add_argument("--load_ckpt", default=None,
+                   help="vernier checkpoint dir (e.g. a two-stage run's "
+                   "vernier_ckpt): skip training and track with the "
+                   "long-trained refiner — the architecture params "
+                   "(hrnet-tiny, grid 8x48x48, res 128) match "
+                   "tools/demo_two_stage.py's vernier_config")
     args = p.parse_args()
 
     import jax
@@ -86,37 +92,59 @@ def main():
     from snvc_tpu.inference.refine import RefineRunner
     from snvc_tpu.inference.track import Tracker
     from snvc_tpu.models.vernier import VernierScale
-    from snvc_tpu.training.train import create_train_state, make_train_step
+    from snvc_tpu.training.train import (
+        create_train_state,
+        load_checkpoint,
+        make_train_step,
+    )
     from snvc_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     cfg = build_config(args)
     os.makedirs(args.work_dir, exist_ok=True)
 
-    # --- train (synthetic supervision, static random scenes) --------------
-    train_root = os.path.join(args.work_dir, "kitti_train")
-    make_synthetic_kitti(train_root, args.train_frames, args.boxes_per_frame,
-                         seed=args.seed, split="train")
-    tc = TrainConfig(lr=args.lr, warmup_steps=50, total_steps=args.steps)
-    ds = KittiDataset(train_root, "train")
-    db = build_db_from_gt(ds, cfg)
-    pipe = RefinementPipeline(db, cfg, training=True, seed=args.seed)
     model = VernierScale(cfg)
-    state = create_train_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
-    step_fn = make_train_step(model, cfg, tc)
-    rng = jax.random.PRNGKey(args.seed + 7)
-    step = 0
-    while step < args.steps:
-        for batch in pipe.batches(shuffle=True):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, batch.arrays(), sub)
-            step += 1
-            if step % args.log_every == 0:
-                print(f"step {step}: " + ", ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
-                    flush=True)
-            if step >= args.steps:
-                break
+    if args.load_ckpt:
+        # long-trained refiner from another run (same architecture params);
+        # the training-noise fields of cfg are irrelevant at load time
+        tc = TrainConfig(lr=args.lr, warmup_steps=50, total_steps=1)
+        state = create_train_state(
+            model, cfg, tc, jax.random.PRNGKey(args.seed)
+        )
+        tree, step0 = load_checkpoint(args.load_ckpt, state)
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats") or {},
+        )
+        print(f"loaded refiner checkpoint at step {step0} from "
+              f"{args.load_ckpt}", flush=True)
+        args.steps = int(step0)
+    else:
+        # --- train (synthetic supervision, static random scenes) ----------
+        train_root = os.path.join(args.work_dir, "kitti_train")
+        make_synthetic_kitti(train_root, args.train_frames,
+                             args.boxes_per_frame,
+                             seed=args.seed, split="train")
+        tc = TrainConfig(lr=args.lr, warmup_steps=50, total_steps=args.steps)
+        ds = KittiDataset(train_root, "train")
+        db = build_db_from_gt(ds, cfg)
+        pipe = RefinementPipeline(db, cfg, training=True, seed=args.seed)
+        state = create_train_state(model, cfg, tc, jax.random.PRNGKey(args.seed))
+        step_fn = make_train_step(model, cfg, tc)
+        rng = jax.random.PRNGKey(args.seed + 7)
+        step = 0
+        while step < args.steps:
+            for batch in pipe.batches(shuffle=True):
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, batch.arrays(), sub)
+                step += 1
+                if step % args.log_every == 0:
+                    print(f"step {step}: " + ", ".join(
+                        f"{k}={float(v):.4f}"
+                        for k, v in sorted(metrics.items())),
+                        flush=True)
+                if step >= args.steps:
+                    break
 
     # --- moving sequence + tracking --------------------------------------
     seq_root = os.path.join(args.work_dir, "sequence")
