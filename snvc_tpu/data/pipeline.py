@@ -124,6 +124,7 @@ class RefinementPipeline:
         max_points: int = 4096,
         seed: int = 0,
         load_lidar: Optional[bool] = None,
+        noise_bank: Optional[np.ndarray] = None,
     ):
         self.db = list(db)
         self.cfg = cfg
@@ -131,6 +132,10 @@ class RefinementPipeline:
         self.max_points = max_points
         self.rng = np.random.default_rng(seed)
         self.load_lidar = training if load_lidar is None else load_lidar
+        # [K, 7] measured proposal-minus-GT deltas: train-time perturbations
+        # bootstrap from a specific detector's empirical error distribution
+        # (correlated, biased) instead of iid Gaussians (instance_db.perturb_box)
+        self.noise_bank = None if noise_bank is None else np.asarray(noise_bank)
 
     def __len__(self) -> int:
         return sum(1 for _ in self._frame_groups())
@@ -221,6 +226,7 @@ class RefinementPipeline:
                         calib_left=rec.calib_left, calib_right=rec.calib_right,
                         image_hw=rec.scene.native_image_size()
                         if cfg.check_fov else None,
+                        noise_bank=self.noise_bank,
                     )
                     if (self.training and cfg.augment) or cfg.sup_type == "synthetic"
                     else base.copy()

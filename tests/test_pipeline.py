@@ -353,6 +353,45 @@ class TestFovCheckedPerturbation:
         ]
         assert not all(in_fov(s, cl, cr, cfg.image_size) for s in unchecked)
 
+    def test_noise_bank_bootstrap(self):
+        """With a noise_bank, perturbations are bootstrap draws from the
+        measured delta bank (plus a 0.1x-std smoothing jitter), preserving
+        a detector's correlated/biased error distribution; gating switches
+        still apply per component."""
+        from snvc_tpu.data.instance_db import perturb_box
+
+        cfg = tiny_vernier_config(
+            check_fov=False, std_loc=(0.0, 0.0, 0.0), std_rot=0.0,
+            rot_aug=True, loc_aug=True,
+        )
+        base = np.array([1.5, 1.6, 3.8, 0.0, 1.65, 12.0, 0.1], np.float32)
+        bank = np.array(
+            [
+                [0, 0, 0, 0.5, 0.0, -0.3, 0.2],
+                [0, 0, 0, -0.2, 0.0, 0.4, -0.1],
+            ]
+        )
+        rng = np.random.default_rng(0)
+        # zero stds -> zero smoothing jitter -> draws replay bank rows
+        draws = np.stack(
+            [
+                perturb_box(base, cfg, rng, noise_bank=bank) - base
+                for _ in range(32)
+            ]
+        )
+        row_dists = np.stack(
+            [np.abs(draws - row[None]).max(axis=1) for row in bank]
+        )
+        assert np.all(row_dists.min(axis=0) < 1e-5)
+        assert len(np.unique(np.round(draws[:, 3], 3))) == 2  # both rows hit
+        # dim components gated off by default (dim_aug=False)
+        assert np.all(draws[:, :3] == 0)
+        # rot_aug off zeroes the bank's yaw component too
+        cfg_norot = cfg.replace(rot_aug=False)
+        rng = np.random.default_rng(0)
+        d = perturb_box(base, cfg_norot, rng, noise_bank=bank) - base
+        assert d[6] == 0
+
 
 class TestNearestGT:
     def test_attach_nearest_gt(self, kitti_root, tiny_cfg):

@@ -200,7 +200,8 @@ def detect_stage(args, model, state, cfg, val_root, out_dir, log,
 
 def measure_proposal_error(ds, pred_dir, log, rot_cap_deg=15.0):
     """Mean center/rotation error of proposals vs nearest GT (sets the
-    Vernier training noise)."""
+    Vernier training noise).  Also returns the raw [K, 7] delta bank
+    (pred - GT, yaw wrapped mod pi) for --noise_mode empirical."""
     import numpy as np
 
     from snvc_tpu.config import VernierConfig
@@ -213,7 +214,7 @@ def measure_proposal_error(ds, pred_dir, log, rot_cap_deg=15.0):
     db = attach_nearest_gt(
         build_db_from_predictions(ds, cfg, pred_dir), cfg
     )
-    d_loc, d_rot = [], []
+    d_loc, d_rot, bank = [], [], []
     for rec in db:
         if rec.label is None:
             continue
@@ -225,16 +226,24 @@ def measure_proposal_error(ds, pred_dir, log, rot_cap_deg=15.0):
         # own frame — only the orientation error matters for noise matching
         dr = (rec.pred[6] - rec.label[6] + np.pi / 2) % np.pi - np.pi / 2
         d_rot.append(abs(float(dr)))
+        delta = (rec.pred - rec.label).astype(np.float64)
+        delta[6] = dr
+        bank.append(delta)
     if not d_loc:
-        return 0.25, 5.0
+        return 0.25, 5.0, None
     loc = float(np.mean(d_loc))
     rot = float(np.degrees(np.mean(d_rot)))
     log(f"proposal error vs GT: center {loc:.3f} m, yaw {rot:.1f} deg")
     # gaussian std whose mean |2d offset| matches: mean = sigma*sqrt(pi/2)
-    return max(0.1, loc / 1.25), min(max(3.0, rot), rot_cap_deg)
+    return (
+        max(0.1, loc / 1.25),
+        min(max(3.0, rot), rot_cap_deg),
+        np.stack(bank),
+    )
 
 
-def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
+def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log,
+                     noise_bank=None):
     import jax
     import numpy as np
 
@@ -259,7 +268,8 @@ def train_and_refine(args, vcfg, train_root, val_root, pred_dir, out_dir, log):
                      total_steps=args.vernier_steps)
     ds = KittiDataset(train_root, "train")
     db = build_db_from_gt(ds, vcfg)
-    pipe = RefinementPipeline(db, vcfg, training=True, seed=args.seed)
+    pipe = RefinementPipeline(db, vcfg, training=True, seed=args.seed,
+                              noise_bank=noise_bank)
     model = VernierScale(vcfg)
     state = create_train_state(model, vcfg, tc, jax.random.PRNGKey(args.seed))
     # same outage insurance as stage 1: resume from the newest periodic
@@ -336,6 +346,13 @@ def main():
     # raises the recall ceiling (freshly trained detectors score ~0.05-0.3)
     p.add_argument("--score_threshold", type=float, default=0.02)
     p.add_argument("--nms_iou", type=float, default=0.25)
+    p.add_argument("--noise_mode", default="gaussian",
+                   choices=["gaussian", "empirical"],
+                   help="vernier training perturbations: iid gaussians "
+                   "matched to the measured error scale (the reference's "
+                   "scheme), or bootstrap draws from the measured "
+                   "proposal-minus-GT delta bank itself — preserving the "
+                   "detector's correlated, biased error distribution")
     p.add_argument("--noise_rot_cap", type=float, default=15.0,
                    help="ceiling on the vernier training rotation noise "
                    "(deg); raise when stage-1 yaw error is larger so the "
@@ -418,14 +435,17 @@ def main():
     log(f"AP3D@0.5(proposals) e/m/h: {p3_50}")
 
     # ---- stage 2: train vernier with matched noise, refine, score -------
-    noise_loc, noise_rot = measure_proposal_error(
+    noise_loc, noise_rot, noise_bank = measure_proposal_error(
         vds, os.path.join(prop_res, "data"), log,
         rot_cap_deg=args.noise_rot_cap,
     )
     vcfg = vernier_config(args, noise_loc, noise_rot)
     refined_dir = os.path.join(args.work_dir, "refined")
-    train_and_refine(args, vcfg, train_root, val_root,
-                     os.path.join(prop_res, "data"), refined_dir, log)
+    train_and_refine(
+        args, vcfg, train_root, val_root,
+        os.path.join(prop_res, "data"), refined_dir, log,
+        noise_bank=noise_bank if args.noise_mode == "empirical" else None,
+    )
 
     result = {
         "ap3d_proposals": p3,
