@@ -36,6 +36,24 @@ if os.environ.get("JAX_PLATFORMS") == "axon":
 
 REFERENCE_ANCHOR_INSTANCES_PER_SEC = 10.0
 
+# assumed per-chip peak for the MFU readout (bf16 matmul); v5e = 197
+# TFLOP/s.  Override with SNVC_PEAK_TFLOPS when benching other chips.
+PEAK_TFLOPS = float(os.environ.get("SNVC_PEAK_TFLOPS", "197"))
+
+
+def mfu_fields(flops_per_step, seconds_per_step):
+    """Model-FLOPs-utilization readout: analytical FLOPs of the compiled
+    step (XLA cost model) over measured wall time, against the assumed
+    peak.  Returns {} when the backend exposes no cost model."""
+    if not flops_per_step or not seconds_per_step:
+        return {}
+    tflops = flops_per_step / seconds_per_step / 1e12
+    return {
+        "tflops_per_sec": round(tflops, 2),
+        "mfu": round(tflops / PEAK_TFLOPS, 4),
+        "peak_tflops_assumed": PEAK_TFLOPS,
+    }
+
 
 def build(config: str):
     from snvc_tpu.config import VernierConfig, BackboneConfig
@@ -127,11 +145,15 @@ def bench_stereo(iters: int, batch: int = 1):
         jax.block_until_ready((out["depth"], out["cls"], out["reg"]))
         ts.append(time.perf_counter() - t0)
     ts = sorted(ts[2:])
-    return 1.0 / ts[len(ts) // 2]
+    from snvc_tpu.inference.refine import _compiled_flops
+
+    flops = _compiled_flops(f, variables, lefts[0], right, Pl, Pr)
+    return 1.0 / ts[len(ts) // 2], flops
 
 
 def emit_stereo(iters: int, batch: int = 1):
-    pps = bench_stereo(iters, batch) * batch
+    rate, flops = bench_stereo(iters, batch)
+    pps = rate * batch
     metric = "stereonet_throughput" + (f"_b{batch}" if batch != 1 else "")
     print(
         json.dumps(
@@ -142,6 +164,7 @@ def emit_stereo(iters: int, batch: int = 1):
                 "vs_baseline": round(pps / 1.0, 3),
                 "baseline_anchor": 1.0,
                 "baseline_kind": "declared_not_measured",
+                **mfu_fields(flops, 1.0 / rate),
             }
         ),
         flush=True,
@@ -299,7 +322,9 @@ def bench_vernier(config: str, iters: int):
         _jax.block_until_ready(out["all_parts"])
         ts.append(time.perf_counter() - t0)
     ts = sorted(ts[2:])
-    inst_per_sec = cfg.max_instances / ts[len(ts) // 2]
+    sec_per_step = ts[len(ts) // 2]
+    inst_per_sec = cfg.max_instances / sec_per_step
+    flops = runner.cost_flops(batch)
 
     print(
         json.dumps(
@@ -312,6 +337,7 @@ def bench_vernier(config: str, iters: int):
                 ),
                 "baseline_anchor": REFERENCE_ANCHOR_INSTANCES_PER_SEC,
                 "baseline_kind": "declared_not_measured",
+                **mfu_fields(flops, sec_per_step),
             }
         ),
         flush=True,

@@ -288,6 +288,11 @@ class StereoConfig(_Base):
     voxel_z: float = 0.2
     # RPN head
     num_classes: int = 1
+    # class slot k <-> KITTI type name: drives GT class assignment in the
+    # stereo pipeline and the proposal writer's type column (the reference
+    # writer hard-codes "Car", inference_agnostic.py:354; its evaluator
+    # scores car/pedestrian/cyclist, evaluate_object_3d_offline.cpp:43-58)
+    class_names: Tuple[str, ...] = ("Car",)
     num_angles: int = 2
     anchor_angles: Tuple[float, ...] = (0.0, 1.5707963)
     anchors_y: Tuple[float, ...] = (1.65,)
@@ -295,6 +300,22 @@ class StereoConfig(_Base):
     focal_alpha: float = 0.25
     num_3d_convs: int = 1
     hourglass_3d: bool = True
+    # stacked 3D hourglasses over the cost volume with intermediate cost
+    # outputs (the reference ships deep stacked hourglasses,
+    # submodule.py:223-268, and a multi-stage disparity loss weighted
+    # 0.5/0.7/1.0 over several depth_preds, loss3d.py:432-438).  Each
+    # stage threads the first stage's pre/post skip state, adds its output
+    # back to the pre-stack volume, and refines the previous stage's cost.
+    # num_hourglasses=1 reproduces the original single-hourglass graph
+    # (same parameter tree: old checkpoints load unchanged).
+    num_hourglasses: int = 1
+    # depth supervision: "sl1" (multi-stage smooth-L1 on the regressed
+    # depth, loss3d.py:425-438) or "w1" (Wasserstein-1 over the depth
+    # distribution, loss3d.py:399-423)
+    depth_loss: str = "sl1"
+    # per-depth-plane learned offset added to the hypothesis grid under
+    # the W1 loss (the reference's `off` branch, loss3d.py:399-412)
+    depth_offset: bool = False
     # per-step view-consistent photometric jitter during training
     # (reference ColorJitter/Lighting, preprocess.py:21-179)
     photometric_aug: bool = False

@@ -70,7 +70,7 @@ class StereoPipeline:
         batch_size: int = 1,
         max_gt: int = 24,
         training: bool = True,
-        valid_classes=(2,),
+        valid_classes=None,
         augment_flip: bool = False,
         seed: int = 0,
     ):
@@ -79,7 +79,20 @@ class StereoPipeline:
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.training = training
-        self.valid_classes = valid_classes
+        # class slots follow cfg.class_names (KITTI ids via CLASS_IDS);
+        # an explicit valid_classes overrides the id filter only
+        if len(cfg.class_names) != cfg.num_classes:
+            raise ValueError(
+                f"StereoConfig.class_names {cfg.class_names} must have "
+                f"num_classes={cfg.num_classes} entries"
+            )
+        from snvc_tpu.geometry.calib import CLASS_IDS
+
+        ids = [CLASS_IDS[n] for n in cfg.class_names]
+        self.valid_classes = (
+            tuple(valid_classes) if valid_classes is not None else tuple(ids)
+        )
+        self._id_to_slot = {cid: slot for slot, cid in enumerate(ids)}
         self.augment_flip = augment_flip and training
         self._flip_rng = np.random.default_rng(seed + 101)
 
@@ -184,7 +197,10 @@ class StereoPipeline:
                 n = min(len(b3), G)
                 boxes[b, :n] = b3[:n]
                 valid[b, :n] = True
-                classes[b, :n] = 0  # single-class (Car) for now
+                # KITTI class id -> model class slot (cfg.class_names order)
+                classes[b, :n] = [
+                    self._id_to_slot[int(c)] for c in cls[:n]
+                ]
                 pc = scene.lidar()[:, :3]
                 pc_rect = cl.velo_to_rect(pc).astype(np.float32)
                 if flip:

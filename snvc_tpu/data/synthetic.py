@@ -42,15 +42,26 @@ def _calib_text() -> str:
     )
 
 
-def random_car_box(rng: np.random.Generator) -> np.ndarray:
+# per-class dimension priors [h, w, l] low/high (KITTI-plausible medians;
+# the evaluator gates pedestrians/cyclists at min IoU 0.5,
+# cpp/kitti_eval.cpp:39-44)
+_DIM_PRIORS = {
+    "Car": ((1.4, 1.5, 3.3), (1.7, 1.8, 4.3)),
+    "Pedestrian": ((1.6, 0.5, 0.5), (1.9, 0.7, 0.8)),
+    "Cyclist": ((1.6, 0.5, 1.6), (1.9, 0.7, 1.9)),
+}
+
+
+def random_box(rng: np.random.Generator, cls: str = "Car") -> np.ndarray:
     """[h, w, l, x, y, z, ry] bottom-centered, in front of the camera."""
+    lo, hi = _DIM_PRIORS[cls]
     z = rng.uniform(12.0, 35.0)
     x = rng.uniform(-0.25, 0.25) * z * 0.5
     return np.array(
         [
-            rng.uniform(1.4, 1.7),
-            rng.uniform(1.5, 1.8),
-            rng.uniform(3.3, 4.3),
+            rng.uniform(lo[0], hi[0]),
+            rng.uniform(lo[1], hi[1]),
+            rng.uniform(lo[2], hi[2]),
             x,
             1.65 + rng.normal() * 0.05,
             z,
@@ -58,6 +69,10 @@ def random_car_box(rng: np.random.Generator) -> np.ndarray:
         ],
         dtype=np.float32,
     )
+
+
+def random_car_box(rng: np.random.Generator) -> np.ndarray:
+    return random_box(rng, "Car")
 
 
 def _face_texture(tex_id: int, face_idx: int, size: int = 64) -> np.ndarray:
@@ -210,6 +225,7 @@ def make_synthetic_kitti(
     seed: int = 0,
     split: str = "val",
     reuse: bool = True,
+    classes: Tuple[str, ...] = ("Car",),
 ) -> List[np.ndarray]:
     """Write a synthetic KITTI tree under ``root``; returns per-frame GT
     box arrays.
@@ -233,6 +249,10 @@ def make_synthetic_kitti(
         "num_frames": int(num_frames),
         "renderer": SYNTH_VERSION,
     }
+    if tuple(classes) != ("Car",):
+        # only stamped when non-default so existing Car-only trees (and
+        # their reuse stamps) stay valid byte-for-byte
+        stamp["classes"] = list(classes)
     if reuse and os.path.isfile(split_file) and os.path.isfile(stamp_file):
         import json
 
@@ -262,7 +282,10 @@ def make_synthetic_kitti(
     all_boxes = []
     for fi in range(num_frames):
         name = f"{fi:06d}"
-        boxes = np.stack([random_car_box(rng) for _ in range(boxes_per_frame)])
+        # round-robin over the class tuple so every frame carries each
+        # class when boxes_per_frame >= len(classes)
+        box_cls = [classes[i % len(classes)] for i in range(boxes_per_frame)]
+        boxes = np.stack([random_box(rng, c) for c in box_cls])
         all_boxes.append(boxes)
         # unique texture ids per (frame, box): detection must read stereo
         # geometry, not memorize recurring patterns
@@ -281,14 +304,14 @@ def make_synthetic_kitti(
             f.write(_calib_text())
         # labels
         lines = []
-        for b in boxes:
+        for b, bc in zip(boxes, box_cls):
             uv = cl.rect_to_image(gbox.box_corners_cam(b))
             box2d = np.array(
                 [uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()]
             )
             box2d = np.clip(box2d, 0, [IMG_W - 1, IMG_H - 1, IMG_W - 1, IMG_H - 1])
             lab = KittiLabel(
-                type="Car",
+                type=bc,
                 truncation=0.0,
                 occlusion=0,
                 alpha=ry_to_alpha(b[3], b[5], b[6]),

@@ -66,6 +66,7 @@ def decode_proposals(
     """Decode one batch of RPN outputs into padded proposal sets.
 
     Returns (boxes3d [N, max_boxes, 7], scores [N, max_boxes],
+    classes [N, max_boxes] slot indices in [0, num_classes), and
     valid [N, max_boxes]).
     """
     A, K = cfg.num_angles, cfg.num_classes
@@ -90,14 +91,19 @@ def decode_proposals(
         )  # [L, K, 3]
         corners = reg + jnp.tile(anchor3d, (1, 1, 8))[:, None, :, :]
         boxes = corners24_to_box3d(corners).reshape(L * A * K, 7)
+        # class slot of every flattened (location, angle, class) triple
+        kidx = jnp.tile(jnp.arange(K, dtype=jnp.int32), (L * A,))
         # keep the top pool before NMS to bound the IoU matrix
         pool = min(4 * max_boxes, L * A * K)
         idx = jnp.argsort(-score)[:pool]
         bsel = boxes[idx]
         ssel = score[idx]
+        ksel = kidx[idx]
         vsel = ssel > score_threshold
         keep = rotated_nms_bev(bev_from_box3d(bsel), ssel, vsel, nms_iou)
-        return top_k_boxes(bsel, ssel, keep, max_boxes)
+        b, s, v = top_k_boxes(bsel, ssel, keep, max_boxes)
+        kk = top_k_boxes(ksel, ssel, keep, max_boxes)[0]
+        return b, s, kk, v
 
     return jax.vmap(one)(outputs["cls"], outputs["reg"], outputs["centerness"])
 
@@ -212,14 +218,15 @@ class DetectRunner:
 
         def finish(names, out):
             nonlocal total
-            boxes, scores, valid = jax.tree.map(np.asarray, out)
+            boxes, scores, classes, valid = jax.tree.map(np.asarray, out)
             for i, name in enumerate(names):
                 if name in written:  # padded tail batch repeats a frame
                     continue
                 written.add(name)
                 scene = ds.scene(int(name))
                 lines = proposals_to_kitti(
-                    boxes[i], scores[i], valid[i], scene.calibration("left")
+                    boxes[i], scores[i], valid[i], scene.calibration("left"),
+                    classes=classes[i], class_names=self.cfg.class_names,
                 )
                 total += len(lines)
                 with open(os.path.join(data_dir, name + ".txt"), "w") as f:
@@ -248,15 +255,22 @@ def proposals_to_kitti(
     calib,
     image_hw=(375, 1242),
     cls_name: str = "Car",
+    classes: np.ndarray = None,
+    class_names=None,
 ):
     """Format decoded proposals as KITTI label lines (with projected 2D
-    boxes) for the refinement stage / evaluator."""
+    boxes) for the refinement stage / evaluator.
+
+    With ``classes`` (slot indices from decode_proposals) and
+    ``class_names`` (StereoConfig.class_names), each line carries its
+    predicted class; otherwise every line is ``cls_name`` (the reference
+    writer hard-codes "Car", inference_agnostic.py:354)."""
     from snvc_tpu.geometry import boxes as gbox
     from snvc_tpu.inference.kitti_writer import instance_line
 
     lines = []
     H, W = image_hw
-    for b, s, v in zip(boxes3d, scores, valid):
+    for i, (b, s, v) in enumerate(zip(boxes3d, scores, valid)):
         if not v or not np.isfinite(s):
             continue
         uv = calib.rect_to_image(gbox.box_corners_cam(b))
@@ -264,5 +278,8 @@ def proposals_to_kitti(
             [uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()]
         )
         box2d = np.clip(box2d, 0, [W - 1, H - 1, W - 1, H - 1])
-        lines.append(instance_line(b, box2d, float(s), cls_name))
+        name = cls_name
+        if classes is not None and class_names is not None:
+            name = class_names[int(classes[i])]
+        lines.append(instance_line(b, box2d, float(s), name))
     return lines

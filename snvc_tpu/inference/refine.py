@@ -61,6 +61,21 @@ def refinement_step(
     return _finalize(outputs, batch, cfg, grid_local, with_targets)
 
 
+def _compiled_flops(jitted, *args, **kwargs):
+    """Analytical FLOPs of one dispatch from the compiled executable's
+    cost analysis (None when the backend has no cost model)."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca:
+            return None
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return None
+
+
 def _finalize(outputs, batch, cfg, grid_local, with_targets):
     upd = ncf_to_update(
         outputs["ncf"],
@@ -197,6 +212,31 @@ class RefineRunner:
             k: (jax.tree.map(np.asarray, v) if (k in wanted and v is not None) else v)
             for k, v in out.items()
         }
+
+    def cost_flops(self, batch: InstanceBatch, with_targets: bool = False):
+        """Analytical FLOPs of one refinement step (sum over the three
+        chained XLA programs), from the compiled executables'
+        cost_analysis.  Returns None when the backend exposes no cost
+        model.  Used by bench.py's MFU accounting."""
+        arrays = batch.arrays()
+        if "split" not in self._progs:
+            self._progs["split"] = self._build_programs(with_targets)
+        encode, heads, finalize = self._progs["split"]
+        enc_vars = scope_variables(self.params, "encoder")
+        head_vars = scope_variables(self.params, "head")
+        voxel = encode(enc_vars, arrays)
+        outputs = heads(head_vars, voxel)
+        total = 0.0
+        for fn, args, kw in (
+            (encode, (enc_vars, arrays), {}),
+            (heads, (head_vars, voxel), {}),
+            (finalize, (outputs, arrays), {"wt": with_targets}),
+        ):
+            f = _compiled_flops(fn, *args, **kw)
+            if f is None:
+                return None
+            total += f
+        return total
 
     def run(
         self,

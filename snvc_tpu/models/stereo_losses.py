@@ -222,11 +222,30 @@ def depth_sl1_loss(depth_pred, depth_gt, mask):
     return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def depth_w1_loss(prob, depth_levels, depth_gt, mask):
-    """Wasserstein-1: E_prob |level - gt| over masked pixels
-    (W_loss, loss3d.py:399-423 with offset=0)."""
+def depth_multistage_sl1_loss(depth_preds, depth_gt, mask):
+    """Masked smooth-L1 over the stacked-hourglass intermediate depth
+    outputs with the reference's staging weights — the last three stages
+    weigh 0.5/0.7/1.0, earlier ones (deeper stacks than the reference
+    ever shipped) also 0.5 (calc_disp_loss 'sl1', loss3d.py:425-438).
+    With one stage this is exactly depth_sl1_loss."""
+    weights = [0.5, 0.7, 1.0]
+    n = len(depth_preds)
+    total = 0.0
+    for i, pred in enumerate(depth_preds):
+        w = weights[max(0, 3 - n + i)]
+        total = total + w * depth_sl1_loss(pred, depth_gt, mask)
+    return total
+
+
+def depth_w1_loss(prob, depth_levels, depth_gt, mask, offset=None):
+    """Wasserstein-1: E_prob |level (+ offset) - gt| over masked pixels
+    (W_loss, loss3d.py:399-423; ``offset`` is the per-depth-plane learned
+    refinement of the hypothesis grid, [N, D, H, W])."""
     # prob: [N, D, H, W]
-    diff = jnp.abs(depth_levels[None, :, None, None] - depth_gt[:, None])
+    levels = depth_levels[None, :, None, None]
+    if offset is not None:
+        levels = levels + offset
+    diff = jnp.abs(levels - depth_gt[:, None])
     per_px = jnp.sum(prob * diff, axis=1)
     m = mask.astype(per_px.dtype)
     return jnp.sum(per_px * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -159,22 +159,67 @@ class StereoHead(nn.Module):
             vol = jax.lax.with_sharding_constraint(vol, self.volume_sharding)
 
         g = 32
-        vol = nn.relu(ConvNorm3d(32, 3, gn=cfg.gn, groups=g, dtype=dt)(vol, train))
-        vol = nn.relu(ConvNorm3d(32, 3, gn=cfg.gn, groups=g, dtype=dt)(vol, train))
-        hg_out, _, _ = Hourglass(32, ndim=3, gn=cfg.gn, dtype=dt)(vol, None, None, train)
-        vol = vol + hg_out
+        base = nn.relu(ConvNorm3d(32, 3, gn=cfg.gn, groups=g, dtype=dt)(vol, train))
+        base = nn.relu(ConvNorm3d(32, 3, gn=cfg.gn, groups=g, dtype=dt)(base, train))
 
-        # --- depth regression branch (submodule.disparityregression) -----
-        cost = Conv3d(1, (3, 3, 3), dtype=dt)(vol)
-        cost = cost[..., 0].astype(jnp.float32)  # [N, D, Hf, Wf]
-        prob = jax.nn.softmax(cost, axis=1)
-        depth = jnp.sum(prob * depths[None, :, None, None], axis=1)
+        # --- stacked hourglasses with intermediate cost outputs ----------
+        # Stage i threads the FIRST stage's pre/post skip state (the
+        # reference hourglass interface, submodule.py:149-168), adds its
+        # output back to the pre-stack volume, and refines the previous
+        # stage's cost cumulatively.  Each stage's softmax-expectation
+        # depth (submodule.disparityregression, :76-83) is supervised with
+        # the reference's 0.5/0.7/1.0 staging (loss3d.py:432-438).
+        # num_hourglasses=1 is graph- and parameter-identical to the
+        # original single-hourglass head.
+        vol_i, pre1, post1 = base, None, None
+        cost, costs = None, []
+        for i in range(max(1, cfg.num_hourglasses)):
+            hg_out, pre_i, post_i = Hourglass(32, ndim=3, gn=cfg.gn, dtype=dt)(
+                vol_i, pre1 if i > 0 else None, post1 if i > 0 else None, train
+            )
+            if i == 0:
+                pre1, post1 = pre_i, post_i
+            vol_i = base + hg_out
+            # depth regression branch (submodule.disparityregression)
+            c = Conv3d(1, (3, 3, 3), dtype=dt)(vol_i)[..., 0].astype(jnp.float32)
+            cost = c if cost is None else cost + c  # [N, D, Hf, Wf]
+            costs.append(cost)
+        vol = vol_i
 
+        depth_offset = None
+        if cfg.depth_offset:
+            # per-depth-plane learned refinement of the hypothesis grid
+            # (the reference W_loss `off` branch, loss3d.py:399-412):
+            # depth_d = level_d + off_d, supervised through the W1 loss
+            depth_offset = Conv3d(1, (3, 3, 3), dtype=dt)(vol)[..., 0].astype(
+                jnp.float32
+            )
+
+        def expectation(c, off=None):
+            p = jax.nn.softmax(c, axis=1)
+            lvl = depths[None, :, None, None]
+            if off is not None:
+                lvl = lvl + off
+            return p, jnp.sum(p * lvl, axis=1)
+
+        # the offset refines only the final stage's decode (the reference
+        # applies `off` to the single final prob, loss3d.py:406-411)
+        prob, depth = expectation(cost, depth_offset)
         out: Dict[str, jnp.ndarray] = {
             "depth": depth,
             "depth_prob": prob,
             "depth_levels": depths,
         }
+        if depth_offset is not None:
+            out["depth_offset"] = depth_offset
+        if len(costs) > 1:
+            # intermediate stages (training supervision only; the final
+            # stage's depth is out["depth"] above)
+            out["depth_preds"] = tuple(
+                expectation(c)[1] for c in costs[:-1]
+            ) + (depth,)
+        else:
+            out["depth_preds"] = (depth,)
 
         if cfg.rpn3d_enable:
             nz, nx = cfg.bev_size

@@ -59,8 +59,12 @@ class CoordHead(nn.Module):
     def __call__(self, x, train: bool = False):
         ch = self.num_parts * 2
         x = BasicBlock(ch, stride=2, dtype=self.dtype)(x, train)
-        # downsample until the short side is <= 8
-        while min(x.shape[1], x.shape[2]) > 8:
+        # downsample until the nl (length) axis reaches 6 — the extent the
+        # reference's block-count formula num_ds = 4 - log2(192/nl)
+        # (vernier.py:83) leaves before its hard-coded (6, 4) valid conv:
+        # at the release grid (nl=192, nw=128) this is 5 strided blocks and
+        # the kernel below computes to exactly (6, 4)
+        while x.shape[1] > 6:
             x = BasicBlock(ch, stride=2, dtype=self.dtype)(x, train)
         x = nn.Conv(
             ch,
@@ -177,9 +181,13 @@ class VernierHead(nn.Module):
     def _hg3d(self, dim, x, train):
         """Hourglass choice by grid width (reference vernier.py:265-268);
         optionally rematerialized to trade FLOPs for HBM."""
+        # nn.remat static_argnums count the bound module at index 0, so
+        # `train` sits at 4 for Hourglass(x, presqu, postsqu, train) and at
+        # 2 for HourglassDeep(x, train) — it must be static because the
+        # BatchNorm branch (gn=False) does Python control flow on it
         if self.cfg.n_sample_w <= 16:
             cls = (
-                nn.remat(Hourglass, static_argnums=(3,))
+                nn.remat(Hourglass, static_argnums=(4,))
                 if self.cfg.remat
                 else Hourglass
             )
@@ -187,7 +195,7 @@ class VernierHead(nn.Module):
                 x, None, None, train
             )[0]
         cls = (
-            nn.remat(HourglassDeep, static_argnums=(1,))
+            nn.remat(HourglassDeep, static_argnums=(2,))
             if self.cfg.remat
             else HourglassDeep
         )

@@ -18,7 +18,12 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from snvc_tpu.config import StereoConfig, TrainConfig
-from snvc_tpu.models.stereo_losses import depth_sl1_loss, rpn3d_loss
+from snvc_tpu.models.stereo_losses import (
+    depth_multistage_sl1_loss,
+    depth_sl1_loss,
+    depth_w1_loss,
+    rpn3d_loss,
+)
 from snvc_tpu.models.stereonet import (
     StereoEncoder,
     StereoHead,
@@ -56,6 +61,25 @@ def augment_normalize(img_l_u8, img_r_u8, cfg: StereoConfig, step):
         l = color_jitter(key, l)
         r = color_jitter(key, r)
     return (l - _IMG_MEAN) / _IMG_STD, (r - _IMG_MEAN) / _IMG_STD
+
+
+def _depth_loss(out, depth_gt, cfg: StereoConfig):
+    """Depth supervision dispatch (reference calc_disp_loss, loss3d.py:425-450):
+    'sl1' = multi-stage smooth-L1 over the stacked-hourglass depth_preds,
+    'w1' = Wasserstein-1 over the final depth distribution with the
+    optional per-plane offset branch."""
+    mask = depth_gt > 0
+    if cfg.depth_loss == "w1":
+        return depth_w1_loss(
+            out["depth_prob"], out["depth_levels"], depth_gt, mask,
+            offset=out.get("depth_offset"),
+        )
+    if cfg.depth_loss != "sl1":
+        raise ValueError(f"unknown depth_loss {cfg.depth_loss!r}")
+    preds = out.get("depth_preds")
+    if preds is None or len(preds) == 1:
+        return depth_sl1_loss(out["depth"], depth_gt, mask)
+    return depth_multistage_sl1_loss(preds, depth_gt, mask)
 
 
 def create_stereo_state(model: StereoNet, cfg: StereoConfig, tc: TrainConfig, rng):
@@ -122,8 +146,7 @@ def stereo_train_step(
             out, batch["gt_boxes"], batch["gt_valid"], batch["gt_classes"],
             cfg, locations,
         )
-        mask = batch["depth_gt"] > 0
-        dloss = depth_sl1_loss(out["depth"], batch["depth_gt"], mask)
+        dloss = _depth_loss(out, batch["depth_gt"], cfg)
         total = losses["total"] + depth_weight * dloss
         losses = dict(losses, depth=dloss, total=total)
         return total, (losses, new_vars.get("batch_stats", {}))
@@ -200,7 +223,7 @@ def make_stereo_train_step_split(
             train=True,
         )
         losses = rpn3d_loss(out, gt_boxes, gt_valid, gt_classes, cfg, locations)
-        dloss = depth_sl1_loss(out["depth"], depth_gt, depth_gt > 0)
+        dloss = _depth_loss(out, depth_gt, cfg)
         total = losses["total"] + depth_weight * dloss
         return total, dict(losses, depth=dloss, total=total)
 

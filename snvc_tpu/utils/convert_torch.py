@@ -303,7 +303,14 @@ def vernier_group_map(flax_params: Dict, use_part_reg_head: bool,
     head = flax_params["head"]
     cn3 = _sorted_children(head, "ConvNorm3d_")
     c3 = _sorted_children(head, "Conv3d_")
-    hgs = _sorted_children(head, "Hourglass")  # Hourglass_*/HourglassDeep_*
+    # Hourglass_* / HourglassDeep_* / CheckpointHourglass*_* (the rematted
+    # 3D hourglass, cfg.remat).  The 3D one always sorts first: "Checkpoint"
+    # precedes "Hourglass" alphabetically, and without remat the 3D
+    # hourglass is created before the 2D one so its auto-number is lower.
+    hgs = [
+        k for k in sorted(head.keys(), key=_module_sort_key)
+        if "Hourglass" in k
+    ]
     n_expected = 6 + (1 if use_part_reg_head else 0)
     assert len(cn3) == n_expected, (cn3, n_expected)
     assert len(hgs) == 2, hgs
@@ -379,6 +386,8 @@ def convert_vernier_checkpoint(
             ):
                 tgt_stats.setdefault(root, {})[child] = flax_batch_stats[root][child]
         got_p, got_s = convert_module(sub_sd, tgt_params, tgt_stats or None)
+        if prefix == "conv5":
+            _permute_conv5_inputs(got_p, flax_params)
         n_leaves = len(_flatten(got_p)) + len(_flatten(got_s))
         if n_leaves != len(sub_sd):
             raise ValueError(
@@ -397,6 +406,39 @@ def convert_vernier_checkpoint(
     if extra:
         raise ValueError(f"unrouted torch tensors: {extra[:8]} (+{len(extra)-8 if len(extra)>8 else 0})")
     return new_params, new_stats
+
+
+def _permute_conv5_inputs(conv5_params: Dict, flax_params: Dict) -> None:
+    """Reorder the converted conv5 kernel's input channels from the torch
+    BEV packing to the flax one.
+
+    The reference flattens the pooled voxel as ``x.reshape(N, F*H, W, L)``
+    (channel index = f*H + h, vernier.py:434-436) while the flax head packs
+    ``[N, W, L, H*C]`` channels-last (index = h*C + c,
+    models/vernier.py _head_bev_type23).  Both orders are internally
+    consistent for fresh training, but a torch checkpoint's conv5 weights
+    index inputs the torch way — without this permutation the converted
+    kernel reads feature f at height h as feature-at-a-different-height.
+    """
+    # dim = vimg_feat's output width: its kernel is [1, 1, 1, 2*dim, dim]
+    head = flax_params["head"]
+    vimg = _subtree(head, (_sorted_children(head, "ConvNorm3d_")[0],))
+    dim = _flatten(vimg)[0][1].shape[-1]
+
+    def visit(node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                visit(v)
+            elif k == "kernel" and np.ndim(v) == 4:
+                kh, kw, cin, cout = v.shape
+                H = cin // dim
+                assert H * dim == cin, (cin, dim)
+                w = np.asarray(v).reshape(kh, kw, dim, H, cout)
+                node[k] = np.ascontiguousarray(
+                    np.transpose(w, (0, 1, 3, 2, 4))
+                ).reshape(kh, kw, cin, cout)
+
+    visit(conv5_params)
 
 
 def _merge(dst: Dict, src: Dict):

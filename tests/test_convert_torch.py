@@ -326,6 +326,111 @@ class TestVernierCheckpointMap:
             )
 
 
+class TestFullGraphVernierParity:
+    """Full-graph VernierScale-vs-live-torch numeric parity: a real torch
+    state_dict with the release module structure (tests/torch_vernier.py)
+    converted by convert_vernier_checkpoint must reproduce the torch
+    forward — grid-sampled stereo voxel, BEV_type3 3D/BEV stacks, NCF,
+    occupancy, and the CoordHead through its (6, 4)-style valid kernel.
+    This is the strongest epoch_80 substitute runnable without the
+    blocked KITTI/checkpoint mount (reference docs/INFERENCE.md:9-12)."""
+
+    @pytest.mark.parametrize(
+        "backbone,grid,res",
+        [
+            # small always-on config; nw=32 > 16 selects the deep
+            # hourglasses and the coord head still lands on a (6, 4) kernel
+            ("hrnet-tiny", (16, 32, 48), (64, 64)),
+            # the release-plausible config EXACTLY: hrnet-w32 (feature
+            # width 32 -> conv5 input dim_height = (32/4)*32 = 256, the
+            # only width the reference's hard-coded table accepts,
+            # vernier.py:291-296), grid nl=192/nw=128 -> the hard-coded
+            # (6, 4) coord kernel (vernier.py:83-91).  Minutes-slow on
+            # CPU, so gated: SNVC_FULL_PARITY=1 pytest -k full_graph
+            pytest.param(
+                "hrnet-w32", (32, 128, 192), (256, 256),
+                marks=pytest.mark.skipif(
+                    not os.environ.get("SNVC_FULL_PARITY"),
+                    reason="release-scale full-graph proof; "
+                    "set SNVC_FULL_PARITY=1",
+                ),
+            ),
+        ],
+    )
+    def test_full_graph_forward_parity(self, rng, backbone, grid, res):
+        import torch
+
+        from snvc_tpu.config import BackboneConfig, VernierConfig
+        from snvc_tpu.models.vernier import VernierScale
+        from snvc_tpu.utils.convert_torch import (
+            abstract_init,
+            convert_vernier_checkpoint,
+        )
+        from tests.torch_vernier import TVernier
+
+        bcfg = BackboneConfig(name=backbone)
+        feat_dim = bcfg.stages()[1].num_channels[0]
+        cfg = VernierConfig(
+            backbone=bcfg,
+            vernier_type="BEV_type3",
+            gn=False,  # convbn_3d default: BatchNorm3d (submodule.py:49)
+            grid_resolution=grid,
+            resolution=res,
+            num_parts=9,
+            compute_dtype="float32",
+        )
+        tmodel = TVernier(bcfg.stages(), feat_dim, grid, res, gn=False)
+        tmodel.eval()
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.8, 1.3)
+                    m.weight.uniform_(0.7, 1.3)
+                    m.bias.uniform_(-0.1, 0.1)
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+        model = VernierScale(cfg)
+        H, W = res
+        nh, nw, nl = grid
+        P = nh * nw * nl
+        x_l = rng.standard_normal((1, H, W, 3)).astype(np.float32)
+        x_r = rng.standard_normal((1, H, W, 3)).astype(np.float32)
+        # projections spread over the ROI with some points out of range
+        # (exercises the zeros-padding parity of the samplers)
+        gl = rng.uniform(-10, max(H, W) + 10, (1, P, 2)).astype(np.float32)
+        gr = gl + rng.normal(0, 3, (1, P, 2)).astype(np.float32)
+
+        template = abstract_init(
+            model, jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, P, 2)), jnp.zeros((1, P, 2)),
+        )
+        params, stats = convert_vernier_checkpoint(
+            sd, template["params"], template.get("batch_stats", {})
+        )
+        out = jax.jit(
+            lambda v, a, b, c, d: model.apply(v, a, b, c, d)
+        )({"params": params, "batch_stats": stats},
+          jnp.asarray(x_l), jnp.asarray(x_r), jnp.asarray(gl), jnp.asarray(gr))
+
+        with torch.no_grad():
+            t_hm, t_occ, t_coord = tmodel(
+                torch.from_numpy(x_l.transpose(0, 3, 1, 2)),
+                torch.from_numpy(x_r.transpose(0, 3, 1, 2)),
+                torch.from_numpy(gl),
+                torch.from_numpy(gr),
+            )
+        np.testing.assert_allclose(
+            np.asarray(out["ncf"]), t_hm.numpy(), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["occupancy"]), t_occ.numpy(), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["coordinates"]), t_coord.numpy(), atol=1e-3
+        )
+
+
 class TestHRNetBackboneParity:
     @pytest.mark.parametrize(
         "backbone",

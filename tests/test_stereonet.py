@@ -195,13 +195,14 @@ class TestProposalRoundTrip:
                 1, nz, nx, A
             ),
         )
-        boxes, scores, valid = jax.tree.map(
+        boxes, scores, kcls, valid = jax.tree.map(
             np.asarray,
             decode_proposals(out, cfg, max_boxes=8, score_threshold=0.5,
                              nms_iou=0.25),
         )
         kept = boxes[0][valid[0]]
         assert len(kept) == 2
+        assert np.all(kcls[0][valid[0]] == 0)
         for g in np.asarray(gt):
             d = np.linalg.norm(kept - g[None], axis=1)
             np.testing.assert_allclose(kept[d.argmin()], g, atol=1e-3)
@@ -339,6 +340,115 @@ class TestTargetsAndLoss:
         w1 = float(depth_w1_loss(prob, depths, gt, mask))
         assert w1 > 0 and np.isfinite(w1)
 
+    def test_multistage_sl1_weights(self, cfg):
+        from snvc_tpu.models.stereo_losses import depth_multistage_sl1_loss
+
+        rng = np.random.default_rng(1)
+        gt = jnp.asarray(rng.uniform(5, 15, (1, 8, 8)), jnp.float32)
+        pred = gt + 0.5
+        mask = jnp.ones((1, 8, 8), bool)
+        one = float(depth_sl1_loss(pred, gt, mask))
+        # one stage == plain sl1; identical stages sum reference weights
+        # 0.5/0.7/1.0 (loss3d.py:432-438)
+        assert float(
+            depth_multistage_sl1_loss((pred,), gt, mask)
+        ) == pytest.approx(one, rel=1e-6)
+        assert float(
+            depth_multistage_sl1_loss((pred, pred, pred), gt, mask)
+        ) == pytest.approx(2.2 * one, rel=1e-5)
+        assert float(
+            depth_multistage_sl1_loss((pred, pred), gt, mask)
+        ) == pytest.approx(1.7 * one, rel=1e-5)
+
+    def test_w1_offset_corrects_grid(self, cfg):
+        """An offset that moves every hypothesis plane onto the GT zeroes
+        the W1 loss regardless of the probability mass."""
+        rng = np.random.default_rng(2)
+        gt = jnp.asarray(rng.uniform(5, 15, (1, 4, 4)), jnp.float32)
+        depths = jnp.asarray(depth_hypotheses(cfg))
+        logits = jnp.asarray(rng.standard_normal((1, cfg.num_depths, 4, 4)))
+        prob = jax.nn.softmax(logits, axis=1)
+        offset = gt[:, None] - depths[None, :, None, None]
+        mask = jnp.ones((1, 4, 4), bool)
+        w1 = float(depth_w1_loss(prob, depths, gt, mask, offset=offset))
+        assert w1 == pytest.approx(0.0, abs=1e-5)
+        # and without the offset it is strictly positive
+        assert float(depth_w1_loss(prob, depths, gt, mask)) > 0.1
+
+
+class TestStackedHourglass:
+    def test_stacked_outputs_and_single_stage_equivalence(self):
+        """num_hourglasses=3 emits 3 intermediate depth maps whose final
+        entry is out['depth']; num_hourglasses=1 keeps the original
+        single-hourglass parameter tree (checkpoint compatibility)."""
+        cfg1 = tiny_stereo_config()
+        cfg3 = tiny_stereo_config(num_hourglasses=3, depth_offset=True)
+        rng = np.random.default_rng(3)
+        H, W = cfg1.input_size
+        left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        right = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        Pl = jnp.asarray(Calibration.default().as_array()[None])
+        Pr = jnp.asarray(Calibration.default_right().as_array()[None])
+
+        m3 = StereoNet(cfg3)
+        v3 = m3.init(jax.random.PRNGKey(0), left, right, Pl, Pr)
+        out3 = m3.apply(v3, left, right, Pl, Pr)
+        assert len(out3["depth_preds"]) == 3
+        np.testing.assert_array_equal(
+            np.asarray(out3["depth_preds"][-1]), np.asarray(out3["depth"])
+        )
+        D = cfg3.num_depths
+        assert out3["depth_offset"].shape == (1, D, H // 4, W // 4)
+        for dp in out3["depth_preds"]:
+            assert np.all(np.isfinite(np.asarray(dp)))
+        head3 = v3["params"]["head"]
+        # three 3D hourglasses + one BEV hourglass; 3 cost classifiers
+        # + 1 offset branch
+        hg = [k for k in head3 if k.startswith("Hourglass_")]
+        conv1 = [k for k in head3 if k.startswith("Conv3d_")]
+        assert len(hg) == 4 and len(conv1) == 4
+
+        m1 = StereoNet(cfg1)
+        v1 = jax.eval_shape(
+            lambda: m1.init(jax.random.PRNGKey(0), left, right, Pl, Pr)
+        )
+        head1 = v1["params"]["head"]
+        # the original graph: Hourglass_0 (3D) / Hourglass_1 (BEV), one
+        # cost classifier Conv3d_0 — old checkpoints load unchanged
+        assert sorted(k for k in head1 if k.startswith("Hourglass_")) == [
+            "Hourglass_0", "Hourglass_1",
+        ]
+        assert [k for k in head1 if k.startswith("Conv3d_")] == ["Conv3d_0"]
+
+    def test_stacked_grads_reach_every_stage(self):
+        """The multi-stage depth loss backpropagates into every stacked
+        hourglass (intermediate supervision is not dead)."""
+        from snvc_tpu.models.stereo_losses import depth_multistage_sl1_loss
+
+        cfg = tiny_stereo_config(num_hourglasses=2, rpn3d_enable=False)
+        rng = np.random.default_rng(4)
+        H, W = cfg.input_size
+        left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        right = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        Pl = jnp.asarray(Calibration.default().as_array()[None])
+        Pr = jnp.asarray(Calibration.default_right().as_array()[None])
+        model = StereoNet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), left, right, Pl, Pr)
+        gt = jnp.full((1, H // 4, W // 4), 10.0)
+        mask = jnp.ones_like(gt, bool)
+
+        def loss(params):
+            out = model.apply(
+                dict(variables, params=params), left, right, Pl, Pr
+            )
+            return depth_multistage_sl1_loss(out["depth_preds"], gt, mask)
+
+        grads = jax.grad(loss)(variables["params"])
+        head = grads["head"]
+        for name in ("Hourglass_0", "Hourglass_1", "Conv3d_0", "Conv3d_1"):
+            leaves = jax.tree_util.tree_leaves(head[name])
+            assert any(float(jnp.abs(g).max()) > 0 for g in leaves), name
+
 
 class TestDecode:
     def test_corner_roundtrip(self):
@@ -354,9 +464,10 @@ class TestDecode:
 
     def test_decode_proposals_shapes(self, cfg, stereo_out):
         _, out = stereo_out
-        boxes, scores, valid = decode_proposals(out, cfg, max_boxes=16)
+        boxes, scores, classes, valid = decode_proposals(out, cfg, max_boxes=16)
         assert boxes.shape == (1, 16, 7)
         assert scores.shape == (1, 16)
+        assert classes.shape == (1, 16)
         assert np.all(np.isfinite(np.asarray(boxes)))
 
 

@@ -108,7 +108,7 @@ def test_two_stage_pipeline(tmp_path):
         normalize_images(jnp.asarray(arrays["images_right"])),
         jnp.asarray(arrays["P_left"]), jnp.asarray(arrays["P_right"]),
     )
-    boxes, scores, valid = jax.tree.map(
+    boxes, scores, _, valid = jax.tree.map(
         np.asarray,
         decode_proposals(out, scfg, max_boxes=8, score_threshold=0.0,
                          nms_iou=0.5),
@@ -152,3 +152,94 @@ def test_two_stage_pipeline(tmp_path):
     assert "car" in res and "detection_3d" in res["car"]
     for v in res["car"]["detection_3d"]["ap40"]:
         assert 0.0 <= v <= 100.0
+
+
+def test_multiclass_end_to_end(tmp_path):
+    """Class plumbing proof across the whole stage-1 chain: a 3-class
+    synthetic tree (Car/Pedestrian/Cyclist) -> per-slot GT assignment ->
+    a brief K=3 train step -> ideal-output decode -> class-typed KITTI
+    writer -> the evaluator emits all three class rows
+    (reference evaluator classes, evaluate_object_3d_offline.cpp:43-58)."""
+    from snvc_tpu.config import TrainConfig
+    from snvc_tpu.models.stereo_losses import assign_targets
+    from snvc_tpu.models.stereonet import bev_locations
+    from snvc_tpu.training.train_stereo import (
+        create_stereo_state,
+        make_stereo_train_step,
+    )
+
+    root = str(tmp_path)
+    classes = ("Car", "Pedestrian", "Cyclist")
+    make_synthetic_kitti(root, num_frames=2, boxes_per_frame=3, seed=5,
+                         split="val", classes=classes)
+    ds = KittiDataset(root, "val")
+    scfg = tiny_stereo_config(
+        z_max=38.0, max_depth=40.0, num_classes=3, class_names=classes,
+    )
+
+    # --- GT class slots ride the pipeline ------------------------------
+    pipe = StereoPipeline(ds, scfg, batch_size=2, training=True)
+    batch = next(pipe.batches())
+    got = set(batch.gt_classes[batch.gt_valid].tolist())
+    assert got == {0, 1, 2}, got
+
+    # --- a brief K=3 training step runs (shapes, losses, grads) --------
+    model = StereoNet(scfg)
+    tc = TrainConfig(lr=1e-4, warmup_steps=1, total_steps=4)
+    state = create_stereo_state(model, scfg, tc, jax.random.PRNGKey(0))
+    step_fn = make_stereo_train_step(model, scfg, tc)
+    arrays = batch.arrays()
+    for _ in range(2):
+        state, metrics = step_fn(state, arrays)
+    assert np.isfinite(float(metrics["total"]))
+
+    # --- ideal outputs decode to typed proposals; evaluator reports all
+    # three class rows -----------------------------------------------
+    loc = jnp.asarray(bev_locations(scfg))
+    A, K = scfg.num_angles, scfg.num_classes
+    L = loc.shape[0]
+    nz, nx = scfg.bev_size
+    pred_dir = os.path.join(root, "proposals", "data")
+    os.makedirs(pred_dir, exist_ok=True)
+    for fi in range(len(ds)):
+        scene = ds.scene(fi)
+        from snvc_tpu.geometry.calib import filter_annotations
+
+        _, b3, cids, _ = filter_annotations(
+            scene.labels(), valid_classes=(1, 2, 3))
+        slots = np.array([{2: 0, 1: 1, 3: 2}[int(c)] for c in cids])
+        labels, reg_t, ctr = assign_targets(
+            loc, jnp.broadcast_to(jnp.asarray(scfg.anchors_y), (K,)),
+            jnp.asarray(b3), jnp.ones(len(b3), bool), jnp.asarray(slots), K,
+            jnp.asarray(scfg.anchor_angles[:A]),
+        )
+        out = dict(
+            cls=jnp.where(labels > 0, 8.0, -8.0).reshape(1, nz, nx, A * K),
+            reg=jnp.broadcast_to(
+                reg_t[:, None, :, :], (L, A, K, 24)
+            ).reshape(1, nz, nx, A * K * 24),
+            centerness=jnp.where(labels.sum(-1) > 0, 8.0, -8.0).reshape(
+                1, nz, nx, A
+            ),
+        )
+        boxes, scores, kcls, valid = jax.tree.map(
+            np.asarray,
+            decode_proposals(out, scfg, max_boxes=8, score_threshold=0.5,
+                             nms_iou=0.25),
+        )
+        assert set(kcls[0][valid[0]].tolist()) == {0, 1, 2}
+        lines = proposals_to_kitti(
+            boxes[0], scores[0], valid[0], scene.calibration("left"),
+            classes=kcls[0], class_names=scfg.class_names,
+        )
+        with open(os.path.join(pred_dir, scene.name + ".txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    res = run_kitti_eval(
+        os.path.join(root, "training", "label_2"),
+        os.path.join(root, "proposals"),
+    )
+    for cname in ("car", "pedestrian", "cyclist"):
+        assert cname in res and "detection_3d" in res[cname], (cname, res)
+        # ideal boxes = exact GT: moderate AP must be essentially perfect
+        assert res[cname]["detection_3d"]["ap40"][1] > 90.0, (cname, res)

@@ -103,10 +103,42 @@ def main():
     cfg = build_config(args)
     os.makedirs(args.work_dir, exist_ok=True)
 
+    if args.load_ckpt:
+        # the checkpoint's config.json (written by save_checkpoint) is the
+        # source of truth for the architecture — a mismatched checkpoint
+        # (e.g. from a --smoke run) would otherwise die in an opaque Orbax
+        # shape error.  Training-noise fields stay from build_config.
+        from snvc_tpu.config import VernierConfig, load_config
+
+        cfg_path = os.path.join(args.load_ckpt, "config.json")
+        if os.path.isfile(cfg_path):
+            ckpt_cfg = load_config(cfg_path, VernierConfig)
+            arch_fields = ("grid_resolution", "resolution", "gn_groups",
+                           "num_parts", "vernier_type", "use_bbox_head")
+            mismatch = [
+                f"{f}: ckpt={getattr(ckpt_cfg, f)} vs local={getattr(cfg, f)}"
+                for f in arch_fields
+                if getattr(ckpt_cfg, f) != getattr(cfg, f)
+            ]
+            if ckpt_cfg.backbone.name != cfg.backbone.name:
+                mismatch.append(f"backbone: ckpt={ckpt_cfg.backbone.name} "
+                                f"vs local={cfg.backbone.name}")
+            if mismatch:
+                print("checkpoint architecture differs from the default "
+                      "tracking config; building the model from the "
+                      "checkpoint's config.json:\n  " + "\n  ".join(mismatch),
+                      flush=True)
+            cfg = ckpt_cfg.replace(
+                std_loc=cfg.std_loc, std_rot=cfg.std_rot,
+                compute_dtype=cfg.compute_dtype, usage=cfg.usage,
+                sup_type=cfg.sup_type,
+            )
+        else:
+            print(f"warning: {cfg_path} not found; assuming the checkpoint "
+                  "matches the default tracking architecture", flush=True)
+
     model = VernierScale(cfg)
     if args.load_ckpt:
-        # long-trained refiner from another run (same architecture params);
-        # the training-noise fields of cfg are irrelevant at load time
         tc = TrainConfig(lr=args.lr, warmup_steps=50, total_steps=1)
         state = create_train_state(
             model, cfg, tc, jax.random.PRNGKey(args.seed)
@@ -118,7 +150,7 @@ def main():
         )
         print(f"loaded refiner checkpoint at step {step0} from "
               f"{args.load_ckpt}", flush=True)
-        args.steps = int(step0)
+        train_steps = int(step0)
     else:
         # --- train (synthetic supervision, static random scenes) ----------
         train_root = os.path.join(args.work_dir, "kitti_train")
@@ -133,6 +165,7 @@ def main():
         step_fn = make_train_step(model, cfg, tc)
         rng = jax.random.PRNGKey(args.seed + 7)
         step = 0
+        train_steps = args.steps
         while step < args.steps:
             for batch in pipe.batches(shuffle=True):
                 rng, sub = jax.random.split(rng)
@@ -190,7 +223,7 @@ def main():
         "tracker_err_max_m": float(np.max(err_track)),
         "static_prior_err_final_m": err_prior[-1],
         "kept_frames": int(np.sum(kept)),
-        "train_steps": args.steps,
+        "train_steps": train_steps,
     }
     print(json.dumps(result))
     with open(os.path.join(args.work_dir, "tracking.json"), "w") as f:

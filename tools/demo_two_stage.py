@@ -37,10 +37,12 @@ def stereo_config(args):
 
     if args.smoke:
         # CPU-runnable mechanics check (minutes, AP not meaningful)
+        cls = tuple(args.classes.split(","))
         return tiny_stereo_config(
             z_max=38.0, max_depth=40.0, compute_dtype=args.dtype,
         ).replace(reg_heading_sym=args.reg_heading_sym,
-                  photometric_aug=args.photo_aug)
+                  photometric_aug=args.photo_aug,
+                  num_classes=len(cls), class_names=cls)
     # mid-scale: half-resolution input (the loader downscales aspect-
     # preserving and scales the projection to match), detection range
     # covering the synthetic boxes (z in 12..35 m)
@@ -48,8 +50,11 @@ def stereo_config(args):
     # resolution-bound), BEV cropped to where the synthetic boxes live
     # (z 12..35 m, |x| <= ~0.125*z); all grid sizes divide by 4
     # (two-level hourglasses): features 96x312, depth 64, BEV 180x120
+    classes = tuple(args.classes.split(","))
     return StereoConfig(
         backbone="reslike-det-small",
+        num_classes=len(classes),
+        class_names=classes,
         input_size=(384, 1248),
         num_depths=64,
         min_depth=4.0,
@@ -214,7 +219,16 @@ def measure_proposal_error(ds, pred_dir, log, rot_cap_deg=15.0):
     db = attach_nearest_gt(
         build_db_from_predictions(ds, cfg, pred_dir), cfg
     )
+    # attach_nearest_gt has no distance cutoff: a false positive far from
+    # any GT injects a multi-meter "error" the refiner can never correct
+    # (the GT box would sit off the refinement grid entirely).  Bound bank
+    # entries by the grid half-extent — beyond it the delta is not a
+    # correctable perturbation but an unmatched detection.
+    max_dx = 0.5 * (cfg.x_range[1] - cfg.x_range[0])
+    max_dz = 0.5 * (cfg.z_range[1] - cfg.z_range[0])
+    rot_cap = np.radians(rot_cap_deg)
     d_loc, d_rot, bank = [], [], []
+    n_far, n_spun = 0, 0
     for rec in db:
         if rec.label is None:
             continue
@@ -228,17 +242,27 @@ def measure_proposal_error(ds, pred_dir, log, rot_cap_deg=15.0):
         d_rot.append(abs(float(dr)))
         delta = (rec.pred - rec.label).astype(np.float64)
         delta[6] = dr
+        if abs(delta[3]) > max_dx or abs(delta[5]) > max_dz:
+            n_far += 1
+            continue
+        if abs(dr) > rot_cap:
+            n_spun += 1
+            continue
         bank.append(delta)
     if not d_loc:
         return 0.25, 5.0, None
     loc = float(np.mean(d_loc))
     rot = float(np.degrees(np.mean(d_rot)))
     log(f"proposal error vs GT: center {loc:.3f} m, yaw {rot:.1f} deg")
+    if n_far or n_spun:
+        log(f"noise bank: dropped {n_far} off-grid (>±{max_dx:.1f} m) and "
+            f"{n_spun} over-rotated (>±{rot_cap_deg:.0f} deg) of "
+            f"{len(d_loc)} matched proposals")
     # gaussian std whose mean |2d offset| matches: mean = sigma*sqrt(pi/2)
     return (
         max(0.1, loc / 1.25),
         min(max(3.0, rot), rot_cap_deg),
-        np.stack(bank),
+        np.stack(bank) if bank else None,
     )
 
 
@@ -336,6 +360,11 @@ def main():
     p.add_argument("--train_frames", type=int, default=192)
     p.add_argument("--val_frames", type=int, default=16)
     p.add_argument("--boxes_per_frame", type=int, default=3)
+    p.add_argument("--classes", default="Car",
+                   help="comma-separated KITTI classes to render and "
+                   "detect (e.g. Car,Pedestrian,Cyclist); stage 1 trains "
+                   "one class slot per entry and the evaluator reports "
+                   "per-class AP rows")
     p.add_argument("--stereo_steps", type=int, default=6000)
     p.add_argument("--stereo_lr", type=float, default=3e-4)
     p.add_argument("--stereo_batch", type=int, default=1)
@@ -405,10 +434,11 @@ def main():
 
     train_root = os.path.join(args.work_dir, "kitti_train")
     val_root = os.path.join(args.work_dir, "kitti_val")
+    classes = tuple(args.classes.split(","))
     make_synthetic_kitti(train_root, args.train_frames, args.boxes_per_frame,
-                         seed=args.seed, split="train")
+                         seed=args.seed, split="train", classes=classes)
     make_synthetic_kitti(val_root, args.val_frames, args.boxes_per_frame,
-                         seed=args.seed + 1000, split="val")
+                         seed=args.seed + 1000, split="val", classes=classes)
 
     # ---- stage 1: train + detect + score --------------------------------
     prop_res = os.path.join(args.work_dir, "proposals")
@@ -433,6 +463,13 @@ def main():
     p3_50 = run_kitti_eval(gt_dir, prop_res, car_min_iou=0.5)[
         "car"]["detection_3d"]["ap40"]
     log(f"AP3D@0.5(proposals) e/m/h: {p3_50}")
+    per_class = {}
+    for c in classes:
+        row = ap_prop.get(c.lower(), {}).get("detection_3d")
+        if row is not None:
+            per_class[c] = row["ap40"]
+            if c != "Car":
+                log(f"AP3D(proposals/{c}) e/m/h: {row['ap40']}")
 
     # ---- stage 2: train vernier with matched noise, refine, score -------
     noise_loc, noise_rot, noise_bank = measure_proposal_error(
@@ -456,6 +493,8 @@ def main():
         "proposal_noise_loc_m": noise_loc,
         "proposal_noise_rot_deg": noise_rot,
     }
+    if len(classes) > 1:
+        result["per_class_ap3d_proposals"] = per_class
     best = None
     for t in ("one_part", "all_parts"):
         d = os.path.join(refined_dir, t)
