@@ -175,6 +175,11 @@ class VernierConfig(_Base):
     y_range: Tuple[float, float] = (-1.0, 1.0)
     z_range: Tuple[float, float] = (-2.4, 2.4)
     sigma: int = 2  # gaussian radius (in voxels) of part heatmap targets
+    # sub-voxel NCF supervision: draw the part gaussians at the TRUE
+    # (fractional) voxel coordinates instead of flooring them first — the
+    # reference's own TODO (KITTIRefinement_dataset.py:633); pairs with
+    # the soft-argmax decode whose precision quantized targets waste
+    ncf_subvoxel: bool = False
     grid_type: str = "2D"  # target heatmaps: "2D" (BEV) or "3D"
     # --- ROI cropping ---
     resolution: Tuple[int, int] = (256, 256)  # (height, width) of the ROI

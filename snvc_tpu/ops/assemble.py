@@ -204,10 +204,11 @@ def make_targets(
     """
     nh, nw, nl = cfg.grid_resolution
     centers, local, idx3 = part_centers_in_grid(samples, gt_boxes, cfg)
+    quant = not cfg.ncf_subvoxel
     if cfg.grid_type == "3D":
-        ncf = heatmaps_3d(idx3, (nh, nw, nl), cfg.sigma, quantize=True)
+        ncf = heatmaps_3d(idx3, (nh, nw, nl), cfg.sigma, quantize=quant)
     else:
-        ncf = bev_part_heatmaps(centers, (nw, nl), cfg.sigma, quantize=True)
+        ncf = bev_part_heatmaps(centers, (nw, nl), cfg.sigma, quantize=quant)
     gh = cfg.y_range[1] - cfg.y_range[0]
     gw = cfg.x_range[1] - cfg.x_range[0]
     gl = cfg.z_range[1] - cfg.z_range[0]

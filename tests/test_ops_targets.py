@@ -330,3 +330,40 @@ class TestRegistration:
         np.testing.assert_allclose(got[5], sample[5], atol=5e-3)
         d_ang = (got[6] - sample[6] + np.pi) % (2 * np.pi) - np.pi
         assert abs(d_ang) < 5e-3
+
+
+def test_make_targets_ncf_subvoxel_plumbing():
+    """cfg.ncf_subvoxel=True must reach the heatmap drawer: fractional part
+    centers yield targets whose soft-argmax decode differs from (and is
+    finer than) the floored default."""
+    import jax.numpy as jnp
+
+    from snvc_tpu.config import tiny_vernier_config
+    from snvc_tpu.ops.assemble import make_grid_local, make_targets
+    from snvc_tpu.ops.heatmaps import soft_argmax_2d_ref
+
+    cfg = tiny_vernier_config()
+    rng = np.random.default_rng(3)
+    gt = np.array([[1.5, 1.6, 3.8, 0.31, 1.64, 14.27, 0.43]], np.float32)
+    # proposal offset a fraction of a voxel from GT so part centers land at
+    # fractional grid coordinates
+    sample = gt.copy()
+    sample[0, 3] += 0.13
+    sample[0, 5] -= 0.07
+    grid_local = jnp.asarray(make_grid_local(cfg))
+    pts = np.zeros((1, 8, 3), np.float32)
+    pv = np.zeros((1, 8), bool)
+    kw = dict()
+    t_q = make_targets(jnp.asarray(sample), jnp.asarray(gt), jnp.asarray(pts),
+                       jnp.asarray(pv), grid_local, cfg, **kw)
+    t_s = make_targets(jnp.asarray(sample), jnp.asarray(gt), jnp.asarray(pts),
+                       jnp.asarray(pv), grid_local,
+                       cfg.replace(ncf_subvoxel=True), **kw)
+    xy_q, _ = soft_argmax_2d_ref(t_q["ncf"])
+    xy_s, _ = soft_argmax_2d_ref(t_s["ncf"])
+    dq = np.asarray(xy_q) - np.asarray(xy_s)
+    assert np.abs(dq).max() > 0.05, "subvoxel flag did not change targets"
+    # the quantized targets decode to (near-)integers, the subvoxel ones
+    # to genuinely fractional positions
+    frac = np.abs(np.asarray(xy_s) - np.round(np.asarray(xy_s)))
+    assert frac.max() > 0.1

@@ -159,7 +159,15 @@ def test_multiclass_end_to_end(tmp_path):
     synthetic tree (Car/Pedestrian/Cyclist) -> per-slot GT assignment ->
     a brief K=3 train step -> ideal-output decode -> class-typed KITTI
     writer -> the evaluator emits all three class rows
-    (reference evaluator classes, evaluate_object_3d_offline.cpp:43-58)."""
+    (reference evaluator classes, evaluate_object_3d_offline.cpp:43-58).
+
+    The AP assertion is protocol-exact rather than "close to 100": the
+    official KITTI PR construction samples precision at 41 recall points
+    whose thresholds come from the sorted TP scores, so a PERFECT detector
+    on n GT objects fills only ~n of the 41 points and AP40 tops out near
+    (n-1)/40*100 (AP40 skips the recall-0 point).  With tiny synthetic
+    splits that quantization dominates, so we compute the expected
+    thresholds count exactly and assert equality."""
     from snvc_tpu.config import TrainConfig
     from snvc_tpu.models.stereo_losses import assign_targets
     from snvc_tpu.models.stereonet import bev_locations
@@ -170,8 +178,9 @@ def test_multiclass_end_to_end(tmp_path):
 
     root = str(tmp_path)
     classes = ("Car", "Pedestrian", "Cyclist")
-    make_synthetic_kitti(root, num_frames=2, boxes_per_frame=3, seed=5,
-                         split="val", classes=classes)
+    num_frames = 16
+    make_synthetic_kitti(root, num_frames=num_frames, boxes_per_frame=3,
+                         seed=5, split="val", classes=classes)
     ds = KittiDataset(root, "val")
     scfg = tiny_stereo_config(
         z_max=38.0, max_depth=40.0, num_classes=3, class_names=classes,
@@ -201,6 +210,7 @@ def test_multiclass_end_to_end(tmp_path):
     nz, nx = scfg.bev_size
     pred_dir = os.path.join(root, "proposals", "data")
     os.makedirs(pred_dir, exist_ok=True)
+    decoded_frames = []
     for fi in range(len(ds)):
         scene = ds.scene(fi)
         from snvc_tpu.geometry.calib import filter_annotations
@@ -227,7 +237,12 @@ def test_multiclass_end_to_end(tmp_path):
             decode_proposals(out, scfg, max_boxes=8, score_threshold=0.5,
                              nms_iou=0.25),
         )
-        assert set(kcls[0][valid[0]].tolist()) == {0, 1, 2}
+        # decoded classes are a subset of this frame's GT slots (a box
+        # whose footprint contains no BEV cell center gets no positive
+        # location in assign_targets and legitimately cannot decode)
+        got_cls = set(kcls[0][valid[0]].tolist())
+        assert got_cls <= set(slots.tolist()), (got_cls, slots)
+        decoded_frames.append(got_cls)
         lines = proposals_to_kitti(
             boxes[0], scores[0], valid[0], scene.calibration("left"),
             classes=kcls[0], class_names=scfg.class_names,
@@ -235,11 +250,55 @@ def test_multiclass_end_to_end(tmp_path):
         with open(os.path.join(pred_dir, scene.name + ".txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
 
+    # plumbing proof: every class decodes in the large majority of frames
+    for slot in range(3):
+        frac = np.mean([slot in s for s in decoded_frames])
+        assert frac >= 0.8, (slot, frac, decoded_frames)
+
     res = run_kitti_eval(
         os.path.join(root, "training", "label_2"),
         os.path.join(root, "proposals"),
     )
+
+    def expected_ap40(n_tp, n_gt):
+        # replicate the official recall-threshold construction
+        # (evaluate_object_3d_offline.cpp getThresholds): n_tp exact-match
+        # TPs over n_gt valid GT, zero FPs, so precision is 1 at every
+        # generated threshold and AP loss is pure protocol quantization.
+        current, n_thresh = 0.0, 0
+        for i in range(n_tp):
+            l_recall = (i + 1) / n_gt
+            r_recall = (i + 2) / n_gt if i + 1 < n_tp else l_recall
+            if (r_recall - current) < (current - l_recall) and i + 1 < n_tp:
+                continue
+            n_thresh += 1
+            current += 1.0 / 40.0
+        # AP40 averages precision over recall points 1..40 (skips 0)
+        return max(0, min(n_thresh, 41) - 1) / 40.0 * 100.0
+
+    # every synthetic box is unoccluded/untruncated; moderate requires
+    # >= 25 px of image height — count qualifying GT and predictions
+    def count_moderate(path):
+        n = {c.lower(): 0 for c in classes}
+        for ln in open(path):
+            f = ln.split()
+            if f[0].lower() in n and float(f[7]) - float(f[5]) >= 25:
+                n[f[0].lower()] += 1
+        return n
+
+    n_gt = {c.lower(): 0 for c in classes}
+    n_tp = {c.lower(): 0 for c in classes}
+    for fi in range(len(ds)):
+        name = ds.scene(fi).name + ".txt"
+        for c, v in count_moderate(
+                os.path.join(root, "training", "label_2", name)).items():
+            n_gt[c] += v
+        for c, v in count_moderate(os.path.join(pred_dir, name)).items():
+            n_tp[c] += v
     for cname in ("car", "pedestrian", "cyclist"):
         assert cname in res and "detection_3d" in res[cname], (cname, res)
-        # ideal boxes = exact GT: moderate AP must be essentially perfect
-        assert res[cname]["detection_3d"]["ap40"][1] > 90.0, (cname, res)
+        assert n_tp[cname] >= 10, (cname, n_tp)
+        want = expected_ap40(n_tp[cname], n_gt[cname])
+        got = res[cname]["detection_3d"]["ap40"][1]
+        # exact-GT detections: the only AP loss is protocol quantization
+        assert abs(got - want) < 1e-3, (cname, got, want, n_tp, n_gt)

@@ -43,6 +43,8 @@ def build_config(args):
         std_loc=(args.noise, 0.05, args.noise),
         std_rot=5.0,
         ncf_loss="mse_weighted",
+        ncf_subvoxel=args.ncf_subvoxel,
+        ncf_decode=args.ncf_decode,
         rot_aug=True,
         loc_aug=True,
         compute_dtype=args.dtype,
@@ -63,6 +65,13 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--ncf_subvoxel", action="store_true",
+                   help="draw NCF targets at true fractional voxel "
+                   "coordinates instead of floored ones (the reference's "
+                   "TODO at KITTIRefinement_dataset.py:633); pair with "
+                   "--ncf_decode soft-argmax for sub-voxel decode too")
+    p.add_argument("--ncf_decode", default="coordinates",
+                   choices=["coordinates", "argmax", "soft-argmax"])
     args = p.parse_args()
 
     import jax

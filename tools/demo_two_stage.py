@@ -42,7 +42,10 @@ def stereo_config(args):
             z_max=38.0, max_depth=40.0, compute_dtype=args.dtype,
         ).replace(reg_heading_sym=args.reg_heading_sym,
                   photometric_aug=args.photo_aug,
-                  num_classes=len(cls), class_names=cls)
+                  num_classes=len(cls), class_names=cls,
+                  num_hourglasses=args.num_hourglasses,
+                  depth_loss=args.depth_loss,
+                  depth_offset=args.depth_offset)
     # mid-scale: half-resolution input (the loader downscales aspect-
     # preserving and scales the projection to match), detection range
     # covering the synthetic boxes (z in 12..35 m)
@@ -69,6 +72,9 @@ def stereo_config(args):
         compute_dtype=args.dtype,
         reg_heading_sym=args.reg_heading_sym,
         photometric_aug=args.photo_aug,
+        num_hourglasses=args.num_hourglasses,
+        depth_loss=args.depth_loss,
+        depth_offset=args.depth_offset,
     )
 
 
@@ -411,6 +417,19 @@ def main():
     p.add_argument("--augment_flip", action="store_true",
                    help="double the stage-1 batch pool with exact stereo "
                    "flips (mirror world + swap mirrored views)")
+    p.add_argument("--num_hourglasses", type=int, default=1,
+                   help="stacked 3D hourglasses over the cost volume with "
+                   "intermediate 0.5/0.7/1.0 depth supervision (the "
+                   "reference's deep stacked stack, loss3d.py:432-438)")
+    p.add_argument("--depth_loss", default="sl1", choices=["sl1", "w1"],
+                   help="depth supervision: multi-stage smooth-L1 or "
+                   "Wasserstein-1 over the depth distribution")
+    p.add_argument("--depth_offset", action="store_true",
+                   help="learned per-depth-plane offset branch under the "
+                   "W1 loss (reference loss3d.py:399-423)")
+    p.add_argument("--stage1_only", action="store_true",
+                   help="stop after scoring the stage-1 proposals "
+                   "(detector A/Bs)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU-runnable mechanics check (AP not meaningful)")
     p.add_argument("--reuse_stereo", action="store_true",
@@ -463,6 +482,20 @@ def main():
     p3_50 = run_kitti_eval(gt_dir, prop_res, car_min_iou=0.5)[
         "car"]["detection_3d"]["ap40"]
     log(f"AP3D@0.5(proposals) e/m/h: {p3_50}")
+    if args.stage1_only:
+        result = {
+            "ap3d_proposals": p3,
+            "apbev_proposals": pb,
+            "ap3d_proposals_iou50": p3_50,
+            "stereo_steps": args.stereo_steps,
+            "num_hourglasses": args.num_hourglasses,
+            "depth_loss": args.depth_loss,
+            "depth_offset": args.depth_offset,
+        }
+        print(json.dumps(result))
+        with open(os.path.join(args.work_dir, "stage1.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        return 0 if p3[1] > 0 else 1
     per_class = {}
     for c in classes:
         row = ap_prop.get(c.lower(), {}).get("detection_3d")
