@@ -43,6 +43,64 @@ class TestMultihostInit:
         with pytest.raises(AssertionError, match="host boundaries"):
             initialize_multihost(num_processes=1, process_id=0, n_model=16)
 
+    def test_explicit_coordinator_calls_distributed_init(self, monkeypatch):
+        """An explicit multi-process topology must reach
+        jax.distributed.initialize with the caller's coordinator args
+        (mocked — this host has one process)."""
+        from snvc_tpu.parallel import api
+
+        calls = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            calls.update(addr=coordinator_address, n=num_processes,
+                         pid=process_id)
+
+        monkeypatch.setattr(api.jax.distributed, "initialize", fake_init)
+        mesh = api.initialize_multihost(
+            coordinator_address="10.0.0.1:1234", num_processes=2,
+            process_id=0, n_model=1,
+        )
+        assert calls == {"addr": "10.0.0.1:1234", "n": 2, "pid": 0}
+        # mesh is still built from the (local) devices after init
+        assert mesh.shape["model"] == 1
+
+    def test_pod_env_autodetect_calls_distributed_init(self, monkeypatch):
+        """With a pod-environment marker set and no explicit topology,
+        auto-detection must call jax.distributed.initialize with
+        all-defaults (the managed-pod path)."""
+        from snvc_tpu.parallel import api
+
+        calls = {"hit": False}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            calls["hit"] = True
+            assert coordinator_address is None and num_processes is None
+
+        monkeypatch.setattr(api.jax.distributed, "initialize", fake_init)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+        api.initialize_multihost(n_model=1)
+        assert calls["hit"]
+
+    def test_no_pod_env_skips_distributed_init(self, monkeypatch):
+        """On a plain single host (no pod markers, no explicit topology)
+        jax.distributed.initialize must NOT be called — with all-defaults
+        it would raise or hang waiting for a coordinator."""
+        from snvc_tpu.parallel import api
+
+        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                  "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+            monkeypatch.delenv(k, raising=False)
+
+        def boom(**kw):
+            raise AssertionError("distributed.initialize must not be called")
+
+        monkeypatch.setattr(api.jax.distributed, "initialize", boom)
+        mesh = api.initialize_multihost(n_model=1)
+        assert mesh.shape["data"] >= 1
+
 
 class TestTrainStep:
     def test_loss_decreases(self, setup):
