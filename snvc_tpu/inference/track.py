@@ -53,13 +53,40 @@ class Tracker:
         conf = float(np.asarray(out["confidence"])[0].mean())
         return TrackState(box=new_box, confidence=conf, kept=kept)
 
-    def track(self, scenes: Sequence[KittiScene], init_box: np.ndarray
+    def track(self, scenes: Sequence[KittiScene], init_box: np.ndarray,
+              motion: str = "static", beta: float = 0.5
               ) -> List[TrackState]:
-        """Refine the pose frame by frame from an initial cuboid."""
+        """Refine the pose frame by frame from an initial cuboid.
+
+        motion:
+          * "static" — each frame's proposal is the previous refined pose
+            verbatim (the reference's demonstrated behavior: local search
+            from the previous cuboid, README.md:19-20).  The refiner must
+            absorb the FULL per-frame motion, so tracking error grows once
+            the object moves faster than the refiner's per-step correction.
+          * "cv" — constant-velocity prior: the proposal extrapolates the
+            previous refined pose by an EMA-damped velocity estimated from
+            the refined-pose differences (alpha-beta filter flavor).  The
+            refiner then only corrects the residual (acceleration +
+            estimation noise), which is what keeps the error bounded.
+        beta: EMA damping of the velocity estimate (0 = raw frame
+          difference, which doubles pose-noise variance; 1 = frozen).
+        """
         states: List[TrackState] = []
         box = np.asarray(init_box, np.float32)
-        for scene in scenes:
-            st = self.step_frame(scene, box)
+        vel = np.zeros(4, np.float32)  # d(x, y, z, ry) per frame
+        for fi, scene in enumerate(scenes):
+            proposal = box.copy()
+            if motion == "cv" and fi > 0:
+                proposal[3:6] += vel[:3]
+                proposal[6] += vel[3]
+            st = self.step_frame(scene, proposal)
             states.append(st)
+            if motion == "cv" and st.kept:
+                obs = np.empty(4, np.float32)
+                obs[:3] = st.box[3:6] - box[3:6]
+                obs[3] = (st.box[6] - box[6] + np.pi) % (2 * np.pi) - np.pi
+                # frame 0 refines the init pose in place — no motion yet
+                vel = beta * vel + (1.0 - beta) * obs if fi > 0 else vel
             box = st.box
         return states

@@ -42,3 +42,76 @@ def test_tracker_runs_and_stays_bounded(tmp_path, rng):
         # untrained model: the update must stay within the refinement range
         assert abs(st.box[3] - init[3]) < 4.0
         assert abs(st.box[5] - init[5]) < 4.0
+
+
+class _FractionalRefiner(Tracker):
+    """Tracker whose refinement step is simulated: it corrects a fixed
+    fraction of the proposal->GT gap (position and yaw).  Isolates the
+    motion-prior logic in track() from the model."""
+
+    def __init__(self, gts, correct=0.7):
+        # deliberately skip Tracker.__init__ — no runner/pipeline needed
+        self.gts = gts
+        self.correct = correct
+        self.update = "all_parts"
+        self.fi = 0
+
+    def step_frame(self, scene, box, calib_left=None, calib_right=None):
+        from snvc_tpu.inference.track import TrackState
+
+        gt = self.gts[self.fi]
+        self.fi += 1
+        new = box.copy()
+        new[3:6] += self.correct * (gt[3:6] - box[3:6])
+        dyaw = (gt[6] - box[6] + np.pi) % (2 * np.pi) - np.pi
+        new[6] += self.correct * dyaw
+        return TrackState(box=new, confidence=1.0, kept=True)
+
+
+def _moving_gts(n, v=(0.15, 0.0, -0.45), yaw_rate=0.02):
+    gts = []
+    g = np.array([1.5, 1.6, 3.9, 1.0, 1.6, 28.0, 0.3], np.float32)
+    for i in range(n):
+        gi = g.copy()
+        gi[3:6] += np.asarray(v, np.float32) * i
+        gi[6] += yaw_rate * i
+        gts.append(gi)
+    return gts
+
+
+def test_cv_motion_prior_bounds_error_where_static_drifts():
+    """With a refiner that corrects 70% of the gap and 0.47 m/frame of
+    motion, the static prior leaves a ~0.2 m/frame residual that
+    accumulates toward motion*(1-c)/c, while the constant-velocity prior
+    hands the refiner a near-zero gap once the velocity estimate locks
+    on — final error an order of magnitude smaller."""
+    gts = _moving_gts(30)
+    init = gts[0].copy()
+
+    def run(motion):
+        tr = _FractionalRefiner(gts, correct=0.7)
+        states = tr.track([None] * len(gts), init, motion=motion, beta=0.5)
+        return [float(np.linalg.norm(s.box[[3, 5]] - g[[3, 5]]))
+                for s, g in zip(states, gts)]
+
+    err_static = run("static")
+    err_cv = run("cv")
+    # static converges to the fixed-point residual: motion*(1-c)/c ≈ 0.2 m
+    assert err_static[-1] > 0.15
+    # cv locks on and tracks with near-zero steady-state error
+    assert err_cv[-1] < 0.02, err_cv[-5:]
+    assert err_cv[-1] < err_static[-1] / 5
+
+
+def test_cv_motion_prior_wraps_yaw():
+    """Yaw velocity estimation must wrap the frame-to-frame difference:
+    a GT yaw crossing the ±pi seam must not produce a 2*pi velocity."""
+    gts = _moving_gts(12, v=(0.0, 0.0, 0.0), yaw_rate=0.0)
+    for i, g in enumerate(gts):
+        g[6] = np.pi - 0.05 + 0.02 * i  # crosses +pi at frame ~3
+    init = gts[0].copy()
+    tr = _FractionalRefiner(gts, correct=0.7)
+    states = tr.track([None] * len(gts), init, motion="cv", beta=0.5)
+    for s, g in zip(states, gts):
+        d = (s.box[6] - g[6] + np.pi) % (2 * np.pi) - np.pi
+        assert abs(d) < 0.1, (s.box[6], g[6])

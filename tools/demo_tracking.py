@@ -73,6 +73,13 @@ def main():
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--ncf_decode", default="argmax",
                    choices=["coordinates", "argmax", "soft-argmax"])
+    p.add_argument("--motion", default="static", choices=["static", "cv"],
+                   help="proposal prior: previous refined pose verbatim "
+                   "(static, the reference's local-search behavior) or a "
+                   "constant-velocity extrapolation (cv) so the refiner "
+                   "only corrects the residual")
+    p.add_argument("--beta", type=float, default=0.5,
+                   help="EMA damping of the cv velocity estimate")
     p.add_argument("--load_ckpt", default=None,
                    help="vernier checkpoint dir (e.g. a two-stage run's "
                    "vernier_ckpt): skip training and track with the "
@@ -200,7 +207,7 @@ def main():
     scenes = sds.scenes()
 
     init = gt_per_frame[0][0].copy()
-    states = tracker.track(scenes, init)
+    states = tracker.track(scenes, init, motion=args.motion, beta=args.beta)
 
     err_track, err_prior, kept = [], [], []
     prior = init.copy()
@@ -224,6 +231,7 @@ def main():
         "static_prior_err_final_m": err_prior[-1],
         "kept_frames": int(np.sum(kept)),
         "train_steps": train_steps,
+        "motion": args.motion,
     }
     print(json.dumps(result))
     with open(os.path.join(args.work_dir, "tracking.json"), "w") as f:
