@@ -166,11 +166,13 @@ class TestTrainStep:
         step = make_train_step(model, cfg, tc)
         rng = jax.random.PRNGKey(1)
         bls = []
-        for _ in range(6):
+        for _ in range(16):
             state, metrics = step(state, batch, rng)
             bls.append(float(metrics["bbox"]))
         assert np.all(np.isfinite(bls)) and bls[0] > 0
-        assert bls[-1] < bls[0], bls
+        # gradient-path proof: the loss trends down once past warmup
+        # (single-step comparisons are noisy at tiny scale)
+        assert np.mean(bls[-3:]) < np.mean(bls[:3]), bls
         # the FCModel parameters received nonzero updates
         fc = [
             p
