@@ -41,18 +41,35 @@ REFERENCE_ANCHOR_INSTANCES_PER_SEC = 10.0
 PEAK_TFLOPS = float(os.environ.get("SNVC_PEAK_TFLOPS", "197"))
 
 
-def mfu_fields(flops_per_step, seconds_per_step):
-    """Model-FLOPs-utilization readout: analytical FLOPs of the compiled
-    step (XLA cost model) over measured wall time, against the assumed
-    peak.  Returns {} when the backend exposes no cost model."""
-    if not flops_per_step or not seconds_per_step:
+PEAK_HBM_GBPS = float(os.environ.get("SNVC_PEAK_HBM_GBPS", "819"))
+
+
+def mfu_fields(cost, seconds_per_step):
+    """Roofline readout from the XLA cost model: model-FLOPs-utilization
+    against the assumed compute peak AND achieved HBM bandwidth against
+    the assumed memory peak (v5e: 197 bf16 TFLOP/s, 819 GB/s).  Whichever
+    utilization is higher names the binding roofline.  ``cost`` is either
+    the {"flops", "bytes_accessed"} dict from _compiled_cost/cost_stats or
+    a bare FLOPs float (legacy).  Returns {} when the backend exposes no
+    cost model."""
+    if not cost or not seconds_per_step:
         return {}
-    tflops = flops_per_step / seconds_per_step / 1e12
-    return {
+    if not isinstance(cost, dict):
+        cost = {"flops": cost, "bytes_accessed": 0.0}
+    tflops = cost["flops"] / seconds_per_step / 1e12
+    out = {
         "tflops_per_sec": round(tflops, 2),
         "mfu": round(tflops / PEAK_TFLOPS, 4),
         "peak_tflops_assumed": PEAK_TFLOPS,
     }
+    if cost.get("bytes_accessed"):
+        gbps = cost["bytes_accessed"] / seconds_per_step / 1e9
+        out.update(
+            hbm_gb_per_sec=round(gbps, 1),
+            hbm_util=round(gbps / PEAK_HBM_GBPS, 4),
+            peak_hbm_gbps_assumed=PEAK_HBM_GBPS,
+        )
+    return out
 
 
 def build(config: str):
@@ -145,14 +162,14 @@ def bench_stereo(iters: int, batch: int = 1):
         jax.block_until_ready((out["depth"], out["cls"], out["reg"]))
         ts.append(time.perf_counter() - t0)
     ts = sorted(ts[2:])
-    from snvc_tpu.inference.refine import _compiled_flops
+    from snvc_tpu.inference.refine import _compiled_cost
 
-    flops = _compiled_flops(f, variables, lefts[0], right, Pl, Pr)
-    return 1.0 / ts[len(ts) // 2], flops
+    cost = _compiled_cost(f, variables, lefts[0], right, Pl, Pr)
+    return 1.0 / ts[len(ts) // 2], cost
 
 
 def emit_stereo(iters: int, batch: int = 1):
-    rate, flops = bench_stereo(iters, batch)
+    rate, cost = bench_stereo(iters, batch)
     pps = rate * batch
     metric = "stereonet_throughput" + (f"_b{batch}" if batch != 1 else "")
     print(
@@ -164,7 +181,7 @@ def emit_stereo(iters: int, batch: int = 1):
                 "vs_baseline": round(pps / 1.0, 3),
                 "baseline_anchor": 1.0,
                 "baseline_kind": "declared_not_measured",
-                **mfu_fields(flops, 1.0 / rate),
+                **mfu_fields(cost, 1.0 / rate),
             }
         ),
         flush=True,
@@ -324,7 +341,7 @@ def bench_vernier(config: str, iters: int):
     ts = sorted(ts[2:])
     sec_per_step = ts[len(ts) // 2]
     inst_per_sec = cfg.max_instances / sec_per_step
-    flops = runner.cost_flops(batch)
+    cost = runner.cost_stats(batch)
 
     print(
         json.dumps(
@@ -337,7 +354,7 @@ def bench_vernier(config: str, iters: int):
                 ),
                 "baseline_anchor": REFERENCE_ANCHOR_INSTANCES_PER_SEC,
                 "baseline_kind": "declared_not_measured",
-                **mfu_fields(flops, sec_per_step),
+                **mfu_fields(cost, sec_per_step),
             }
         ),
         flush=True,

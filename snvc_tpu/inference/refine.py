@@ -61,9 +61,11 @@ def refinement_step(
     return _finalize(outputs, batch, cfg, grid_local, with_targets)
 
 
-def _compiled_flops(jitted, *args, **kwargs):
-    """Analytical FLOPs of one dispatch from the compiled executable's
-    cost analysis (None when the backend has no cost model)."""
+def _compiled_cost(jitted, *args, **kwargs):
+    """Analytical cost of one dispatch from the compiled executable's
+    cost analysis: {"flops", "bytes_accessed"} (None when the backend has
+    no cost model).  bytes_accessed is XLA's HBM-traffic estimate — the
+    numerator of the memory-roofline readout."""
     try:
         compiled = jitted.lower(*args, **kwargs).compile()
         ca = compiled.cost_analysis()
@@ -71,9 +73,17 @@ def _compiled_flops(jitted, *args, **kwargs):
             ca = ca[0] if ca else None
         if not ca:
             return None
-        return float(ca.get("flops", 0.0))
+        return {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+        }
     except Exception:
         return None
+
+
+def _compiled_flops(jitted, *args, **kwargs):
+    cost = _compiled_cost(jitted, *args, **kwargs)
+    return None if cost is None else cost["flops"]
 
 
 def _finalize(outputs, batch, cfg, grid_local, with_targets):
@@ -213,11 +223,12 @@ class RefineRunner:
             for k, v in out.items()
         }
 
-    def cost_flops(self, batch: InstanceBatch, with_targets: bool = False):
-        """Analytical FLOPs of one refinement step (sum over the three
+    def cost_stats(self, batch: InstanceBatch, with_targets: bool = False):
+        """Analytical cost of one refinement step (sum over the three
         chained XLA programs), from the compiled executables'
-        cost_analysis.  Returns None when the backend exposes no cost
-        model.  Used by bench.py's MFU accounting."""
+        cost_analysis: {"flops", "bytes_accessed"}.  Returns None when the
+        backend exposes no cost model.  Used by bench.py's MFU/HBM
+        roofline accounting."""
         arrays = batch.arrays()
         if "split" not in self._progs:
             self._progs["split"] = self._build_programs(with_targets)
@@ -226,17 +237,19 @@ class RefineRunner:
         head_vars = scope_variables(self.params, "head")
         voxel = encode(enc_vars, arrays)
         outputs = heads(head_vars, voxel)
-        total = 0.0
+        total = {"flops": 0.0, "bytes_accessed": 0.0}
         for fn, args, kw in (
             (encode, (enc_vars, arrays), {}),
             (heads, (head_vars, voxel), {}),
             (finalize, (outputs, arrays), {"wt": with_targets}),
         ):
-            f = _compiled_flops(fn, *args, **kw)
-            if f is None:
+            c = _compiled_cost(fn, *args, **kw)
+            if c is None:
                 return None
-            total += f
+            for k in total:
+                total[k] += c[k]
         return total
+
 
     def run(
         self,
