@@ -422,3 +422,39 @@ class TestNearestGT:
         assert logs and np.isfinite(logs[0]["total"])
         # lidar got loaded: occupancy loss is supervised
         assert "occupancy" in logs[0]
+
+
+class TestLidarCoverage:
+    """proposal_lidar_coverage: the RoI-aware pooling diagnostic."""
+
+    def test_coverage_tracks_localization_quality(self, kitti_root, tiny_cfg):
+        from snvc_tpu.data.instance_db import attach_nearest_gt
+        from snvc_tpu.eval.coverage import proposal_lidar_coverage
+
+        root, pred_dir, boxes = kitti_root
+        ds = KittiDataset(root, "val")
+        noisy = attach_nearest_gt(
+            build_db_from_predictions(ds, tiny_cfg, pred_dir), tiny_cfg
+        )
+        cov_noisy = proposal_lidar_coverage(noisy)
+        for k in ("pts_in_proposal_med", "pts_in_gt_med",
+                  "coverage_ratio_med", "occ_frac_med"):
+            assert k in cov_noisy
+        assert cov_noisy["pts_in_gt_med"] > 0
+        assert 0.0 < cov_noisy["occ_frac_med"] <= 1.0
+
+        # a proposal equal to its GT box captures exactly the GT point
+        # mass (ratio 1.0); noisy proposals deviate (in either direction:
+        # a drifted box can also scoop ground points the GT excludes —
+        # the diagnostic signal is |ratio - 1|)
+        import dataclasses
+
+        exact = [dataclasses.replace(r, pred=r.label.copy()) for r in noisy]
+        cov_exact = proposal_lidar_coverage(exact)
+        assert cov_exact["coverage_ratio_med"] == pytest.approx(1.0)
+        assert abs(cov_noisy["coverage_ratio_med"] - 1.0) > 0.01
+
+    def test_empty_db_returns_empty(self):
+        from snvc_tpu.eval.coverage import proposal_lidar_coverage
+
+        assert proposal_lidar_coverage([]) == {}

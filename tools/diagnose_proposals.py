@@ -84,6 +84,12 @@ def split_stats(ds, pred_dir):
             # recall proxy: matched proposals within 1 m of a GT center
             within_1m=int((a[:, 0] < 1.0).sum()),
         )
+    # RoI-aware LiDAR coverage (exercises ops.roiaware_pool3d): a
+    # well-localized proposal captures ~the GT box's point mass (ratio→1)
+    if rows and os.path.isdir(ds.lidar_dir):
+        from snvc_tpu.eval.coverage import proposal_lidar_coverage
+
+        d.update(proposal_lidar_coverage(db))
     return d
 
 
@@ -95,9 +101,16 @@ def main():
     p.add_argument("--nms_iou", type=float, default=0.25)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--smoke", action="store_true")
-    # loss-only config field consumed by demo_two_stage.stereo_config;
-    # has no effect on the restored model's parameters or forward pass
+    # config fields consumed by demo_two_stage.stereo_config; the loss-only
+    # ones (reg_heading_sym, photo_aug, depth_*) have no effect on the
+    # restored model's forward pass, but classes/num_hourglasses change
+    # the architecture and MUST match the diagnosed checkpoint
     p.add_argument("--reg_heading_sym", action="store_true")
+    p.add_argument("--classes", default="Car")
+    p.add_argument("--photo_aug", action="store_true")
+    p.add_argument("--num_hourglasses", type=int, default=1)
+    p.add_argument("--depth_loss", default="sl1", choices=["sl1", "w1"])
+    p.add_argument("--depth_offset", action="store_true")
     args = p.parse_args()
 
     import jax
