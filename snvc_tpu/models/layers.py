@@ -153,6 +153,22 @@ class Conv3d(nn.Module):
     more than the MXU occupancy gain on these memory-bound stacks.  The
     op-level microbench that motivated it (1.25x on an isolated k3^3)
     did not survive composition with XLA's fusions.
+
+    ``fold_output`` is the OUTPUT-side dual, motivated by the hypothesis
+    that F = 32..64 output features under-fill the MXU's 128 output
+    lanes: it computes ONE conv2d with [kh, kw, C, kd*F] outputs (every
+    (plane, depth-tap) product — the same total FLOPs, wider GEMM) and
+    reduces the kd depth-shifted output blocks with a fused sum,
+    duplicating only the small output tensor rather than the input.
+
+    Also default "never": the same-window A/B (BENCH.md, 2026-08-19)
+    measured it a 20 % REGRESSION on the flagship vernier (10.63 ->
+    8.51 inst/s, the k7^3 conv1's 7x-widened activation dominating) and
+    -2.7 % on the stereo model, with a +5 % win only on the small
+    vernier — i.e. XLA's TPU conv emitter does NOT leave output lanes
+    idle at F=32 the way a naive GEMM lowering would, so the fold only
+    pays where activations are tiny.  Kept behind SNVC_FOLD_OUT for
+    future shapes.
     """
 
     features: int
@@ -162,6 +178,7 @@ class Conv3d(nn.Module):
     use_bias: bool = False
     dtype: Optional[Dtype] = None
     fold_depth: str = "never"  # "never" | "auto" | "always"
+    fold_output: str = "never"  # "never" | "auto" | "always"
     pallas: str = "never"  # "never" | "auto" — implicit-GEMM k3^3 kernel
 
     @nn.compact
@@ -194,6 +211,16 @@ class Conv3d(nn.Module):
             mode == "always"
             or (mode == "auto" and C < 128 and kd * C <= 256)
         )
+        # output-side fold (SNVC_FOLD_OUT hatch): pays kd x on the small
+        # OUTPUT tensor to lift the per-tap conv2d's 128-lane occupancy
+        # from F/128 to min(kd*F, 128)/128.  F >= 128 already fills the
+        # lanes; kd*F is capped so the widened activation stays cheap.
+        omode = os.environ.get("SNVC_FOLD_OUT", self.fold_output)
+        fold_out = sd == 1 and kd > 1 and not fold and (
+            omode == "always"
+            or (omode == "auto" and self.features < 128
+                and kd * self.features <= 512)
+        )
         # implicit-GEMM Pallas kernel for the hot k3^3/s1/d1 shape: full
         # 27C-deep MXU contraction at ~1x HBM traffic (the im2col fold
         # happens in VMEM; see ops/conv3d_pallas.py).  Same env-hatch
@@ -220,6 +247,8 @@ class Conv3d(nn.Module):
                 return out
         if fold:
             return self._fold_depth_conv(x, w, dt)
+        if fold_out:
+            return self._fold_output_conv(x, w, dt)
         # torch-symmetric padding along depth: (k-1)//2 * dilation per side,
         # the same formula as ConvNorm (equals flax-SAME at stride 1; at
         # stride 2 flax-SAME pads (0, 1) which misaligns converted torch
@@ -256,6 +285,49 @@ class Conv3d(nn.Module):
             out = out + b.astype(dt)
         Ho, Wo = out.shape[1], out.shape[2]
         return out.reshape(N, Do, Ho, Wo, self.features)
+
+    def _fold_output_conv(self, x, w, dt):
+        """Exact sd==1 formulation: ONE conv2d over every padded depth
+        plane with [kh, kw, C, kd*F] outputs — each (plane, depth-tap)
+        product appears exactly once in both schemes, so FLOPs are
+        identical to the per-tap path, but the GEMM's output width is
+        kd*F instead of F — then the kd depth-shifted output blocks are
+        summed (a fused elementwise reduce over D-aligned slices)."""
+        kd, kh, kw = self.kernel
+        _, sh, sw = self.stride
+        dil = self.dilation
+        N, D, H, W, C = x.shape
+        F = self.features
+        pad_d = (kd - 1) // 2 * dil
+        Dp = D + 2 * pad_d
+        Do = Dp - (kd - 1) * dil  # depth-valid count after the padded conv
+        xp = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
+        # [kd, kh, kw, C, F] -> [kh, kw, C, kd*F]; block dz on the lane axis
+        wf = jnp.moveaxis(w, 0, 3).reshape(kh, kw, C, kd * F)
+        pad_h = (kh - 1) // 2 * dil
+        pad_w = (kw - 1) // 2 * dil
+        ys = jax.lax.conv_general_dilated(
+            xp.reshape(N * Dp, H, W, C),
+            wf,
+            (sh, sw),
+            ((pad_h, pad_h), (pad_w, pad_w)),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        Ho, Wo = ys.shape[1], ys.shape[2]
+        ys = ys.reshape(N, Dp, Ho, Wo, kd, F)
+        # out[:, d] = sum_dz ys[:, d + dz*dil, ..., dz, :]  (Do == D for
+        # odd kernels at sd == 1 with the symmetric (k-1)//2*dil padding)
+        out = None
+        for dz in range(kd):
+            o = ys[:, dz * dil : dz * dil + Do, :, :, dz].astype(jnp.float32)
+            out = o if out is None else out + o
+        out = out.astype(dt)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            out = out + b.astype(dt)
+        return out
 
     def _fold_depth_conv(self, x, w, dt):
         """Exact sd==1 formulation: kd depth-shifted slices concatenated on

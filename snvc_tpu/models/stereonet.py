@@ -147,13 +147,10 @@ class StereoHead(nn.Module):
         baseline = P_right[:, 0, 3] / (-P_right[:, 0, 0]) - P_left[:, 0, 3] / (
             -P_left[:, 0, 0]
         )
-        # shifts vary per batch element via calib; build one volume each
+        # shifts vary per batch element via calib; the kernel takes the
+        # whole [N, D] table (vmapping pallas_call is Mosaic-hostile)
         shifts = (fu[:, None] * baseline[:, None] / depths[None, :]) / 4.0
-
-        def one_volume(l, r, s):
-            return build_cost_volume(l[None], r[None], s, 1)[0]
-
-        vol = jax.vmap(one_volume)(lf, rf, shifts.astype(jnp.float32))
+        vol = build_cost_volume(lf, rf, shifts.astype(jnp.float32), 1)
         # [N, D, Hf, Wf, 2C]
         if self.volume_sharding is not None:
             vol = jax.lax.with_sharding_constraint(vol, self.volume_sharding)

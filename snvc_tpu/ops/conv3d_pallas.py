@@ -84,7 +84,16 @@ def _tile_rows(C: int) -> int:
 
 def conv3d_k3_available(x_shape, w_shape, stride=(1, 1, 1), dilation=1):
     """Shape gate for the kernel: k=3^3, stride 1, dilation 1, H
-    divisible by the row tile, lane-sane widths."""
+    divisible by the row tile, lane-sane widths.
+
+    The channel minor must be a whole number of 128-lane tiles: the
+    kernel's manual halo DMA slices an HBM memref whose minor dim Mosaic
+    lays out in 128-wide tiles, and it rejects sub-tile slice extents
+    ("Slice shape along dimension 4 must be aligned to tiling (128)" —
+    measured on the flagship A/B, BENCH.md 2026-08-19).  The model's
+    C=32/64 stacks therefore never take this path on hardware; it
+    remains exercised in interpret mode and available for >=128-channel
+    shapes."""
     if not _HAS_PLTPU:
         return False
     if tuple(w_shape[:3]) != (3, 3, 3) or tuple(stride) != (1, 1, 1):
@@ -93,7 +102,7 @@ def conv3d_k3_available(x_shape, w_shape, stride=(1, 1, 1), dilation=1):
         return False
     N, D, H, W, C = x_shape
     F = w_shape[-1]
-    if C > 64 or F > 128:
+    if C % 128 != 0 or F > 128:
         return False
     return H % _tile_rows(C) == 0
 

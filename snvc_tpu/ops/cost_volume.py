@@ -83,9 +83,15 @@ def _psv_kernel(shift_ref, rpad_ref, out_ref, *, S, W):
 
     Blocks are f32 with exactly 128 lanes: Mosaic rejects dynamic sublane
     slices on bf16 refs (16-sublane packing) and on >128-lane blocks.
+
+    shift_ref is the full [N, D] SMEM table (per-sample shifts: the
+    stereo model derives them from each frame's calibration) — indexing
+    it by both grid ids keeps batched inputs out of pallas's vmap rule,
+    whose Squeezed() SMEM blocks Mosaic rejects.
     """
+    n = pl.program_id(0)
     d = pl.program_id(1)
-    s = shift_ref[d]
+    s = shift_ref[n, d]
     ks = jnp.floor(s).astype(jnp.int32)
     fs = s - jnp.floor(s)
     a = rpad_ref[pl.ds(S - ks - 1, W)]  # taps x - ks - 1
@@ -98,7 +104,10 @@ def _psv_pallas_fwd(
     interpret: bool = False,
 ):
     N, H, W, C = left.shape
-    D = shifts.shape[0]
+    D = shifts.shape[-1]
+    shifts2 = jnp.broadcast_to(
+        shifts if shifts.ndim == 2 else shifts[None], (N, D)
+    )
     S = int(max_shift) + 2 if max_shift is not None else W
     HC = H * C
     assert HC % 128 == 0, "H*C must be lane-aligned (128)"
@@ -117,7 +126,7 @@ def _psv_pallas_fwd(
         out_specs=pl.BlockSpec((1, W, 128), lambda n, d, j: (n * D + d, 0, j)),
         out_shape=jax.ShapeDtypeStruct((N * D, W, HC), jnp.float32),
         interpret=interpret,
-    )(shifts, rpad)
+    )(shifts2, rpad)
     right_part = (
         out_r.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4).astype(left.dtype)
     )
@@ -125,9 +134,22 @@ def _psv_pallas_fwd(
     return jnp.concatenate([left_part, right_part], axis=-1)
 
 
+def _plane_sweep_xla_any(left, right, shifts, downsample: int = 1):
+    """XLA path for shared [D] or per-sample [N, D] shift tables."""
+    if shifts.ndim == 2:
+        return jax.vmap(
+            lambda l, r, s: plane_sweep_volume(
+                l[None], r[None], s, downsample
+            )[0]
+        )(left, right, shifts)
+    return plane_sweep_volume(left, right, shifts, downsample)
+
+
 @jax.custom_vjp
 def plane_sweep_volume_pallas(left, right, shifts):
-    """Pallas forward, XLA-transpose backward; downsample fixed to 1."""
+    """Pallas forward, XLA-transpose backward; downsample fixed to 1.
+
+    shifts: [D] (shared) or [N, D] (per-sample, e.g. per-frame calib)."""
     return _psv_pallas_fwd(left, right, shifts)
 
 
@@ -137,7 +159,9 @@ def _psv_fwd(left, right, shifts):
 
 def _psv_bwd(res, g):
     left, right, shifts = res
-    _, vjp = jax.vjp(lambda l, r: plane_sweep_volume(l, r, shifts, 1), left, right)
+    _, vjp = jax.vjp(
+        lambda l, r: _plane_sweep_xla_any(l, r, shifts, 1), left, right
+    )
     dl, dr = vjp(g)
     return dl, dr, jnp.zeros_like(shifts)
 
@@ -147,7 +171,12 @@ plane_sweep_volume_pallas.defvjp(_psv_fwd, _psv_bwd)
 
 def build_cost_volume(left, right, shifts, downsample: int = 1, use_pallas=None):
     """Dispatcher mirroring the reference API
-    (build_cost_volume/__init__.py:7-26; asserts shift >= 0 there)."""
+    (build_cost_volume/__init__.py:7-26; asserts shift >= 0 there).
+
+    shifts may be [D] (one table for the batch) or [N, D] (per-sample);
+    call this directly with the batched table rather than vmapping —
+    pallas_call's batching rule produces SMEM block shapes Mosaic
+    rejects."""
     if use_pallas is None:
         use_pallas = (
             _HAS_PLTPU
@@ -156,4 +185,4 @@ def build_cost_volume(left, right, shifts, downsample: int = 1, use_pallas=None)
         )
     if use_pallas:
         return plane_sweep_volume_pallas(left, right, shifts)
-    return plane_sweep_volume(left, right, shifts, downsample)
+    return _plane_sweep_xla_any(left, right, shifts, downsample)

@@ -60,21 +60,27 @@ class TestConv3dPallasInterpret:
         np.testing.assert_allclose(got, want, atol=0.5)
 
     def test_availability_gate(self):
-        ok = conv3d_k3_available((1, 4, 8, 16, 32), (3, 3, 3, 32, 32))
+        # C must be a whole number of 128-lane tiles: the manual halo DMA
+        # slices the channel minor, and Mosaic rejects sub-tile extents
+        # (measured on the flagship, BENCH.md 2026-08-19) — so the gate
+        # turns the kernel OFF for the models' C=32/64 stacks
+        ok = conv3d_k3_available((1, 4, 8, 16, 128), (3, 3, 3, 128, 32))
         # the gate itself is backend-independent except for _HAS_PLTPU
         from snvc_tpu.ops import conv3d_pallas
 
         assert ok == conv3d_pallas._HAS_PLTPU
-        # rejected: stride, dilation, kernel, huge C, row mis-tiling
+        assert not conv3d_k3_available((1, 4, 8, 16, 32), (3, 3, 3, 32, 32))
+        assert not conv3d_k3_available((1, 4, 8, 16, 64), (3, 3, 3, 64, 32))
+        # rejected: stride, dilation, kernel, wide F, row mis-tiling
         assert not conv3d_k3_available(
-            (1, 4, 8, 16, 32), (3, 3, 3, 32, 32), stride=(2, 1, 1)
+            (1, 4, 8, 16, 128), (3, 3, 3, 128, 32), stride=(2, 1, 1)
         )
         assert not conv3d_k3_available(
-            (1, 4, 8, 16, 32), (3, 3, 3, 32, 32), dilation=2
+            (1, 4, 8, 16, 128), (3, 3, 3, 128, 32), dilation=2
         )
-        assert not conv3d_k3_available((1, 4, 8, 16, 32), (3, 3, 1, 32, 32))
-        assert not conv3d_k3_available((1, 4, 8, 16, 256), (3, 3, 3, 256, 32))
-        assert not conv3d_k3_available((1, 4, 6, 16, 32), (3, 3, 3, 32, 32))
+        assert not conv3d_k3_available((1, 4, 8, 16, 128), (3, 3, 1, 128, 32))
+        assert not conv3d_k3_available((1, 4, 8, 16, 128), (3, 3, 3, 128, 256))
+        assert not conv3d_k3_available((1, 4, 6, 16, 128), (3, 3, 3, 128, 32))
 
     def test_custom_vjp_grads_match_xla(self, rng, monkeypatch):
         """conv3d_k3's backward is the XLA vjp; check end-to-end grads by

@@ -98,3 +98,25 @@ class TestPallasKernelInterpret:
         want = np.asarray(plane_sweep_volume(left, right, shifts, 1))
         assert got.shape == want.shape == (N, D, H, W, 2 * C)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_psv_kernel_per_sample_shifts(self, rng):
+        """[N, D] per-sample shift tables (per-frame calibration) must
+        match the per-sample XLA formulation — the stereo model passes
+        the batched table in ONE pallas call (vmapping pallas_call makes
+        SMEM block shapes Mosaic rejects at batch > 1)."""
+        from snvc_tpu.ops.cost_volume import (
+            _plane_sweep_xla_any,
+            _psv_pallas_fwd,
+        )
+
+        N, H, W, C = 3, 8, 24, 16
+        D = 4
+        left = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        right = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+        shifts = jnp.asarray(
+            rng.uniform(0.0, W - 2, size=(N, D)).astype(np.float32)
+        )
+        got = np.asarray(_psv_pallas_fwd(left, right, shifts, interpret=True))
+        want = np.asarray(_plane_sweep_xla_any(left, right, shifts, 1))
+        assert got.shape == want.shape == (N, D, H, W, 2 * C)
+        np.testing.assert_allclose(got, want, atol=1e-5)

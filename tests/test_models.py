@@ -188,18 +188,30 @@ class TestConv3dDecomposition:
     # "always" must also be safe on every variant: depth-strided convs
     # (Hourglass downs, vernier compress) fall back to the per-tap path
     # rather than applying the unit-depth-stride fold formulation
-    @pytest.mark.parametrize("fold", ["never", "auto", "always"])
-    def test_matches_native_conv3d(self, rng, kernel, stride, dilation, fold):
+    @pytest.mark.parametrize(
+        "fold,fold_out",
+        [
+            ("never", "never"),  # per-tap baseline
+            ("auto", "never"),
+            ("always", "never"),
+            ("never", "auto"),  # output-side fold (MXU-lane fill)
+            ("never", "always"),
+        ],
+    )
+    def test_matches_native_conv3d(self, rng, kernel, stride, dilation,
+                                   fold, fold_out):
         """Reference point: native Conv3D with the torch-symmetric padding
         ((k-1)//2 * dil per side, the same formula as ConvNorm / torch
         Conv3d(pad=(k-1)//2*d)); equals SAME at stride 1 and the torch
-        alignment at stride 2.  Covers both the per-depth-tap and the
-        channel-folded (single big conv2d) formulations."""
+        alignment at stride 2.  Covers the per-depth-tap, channel-folded
+        (single big-input conv2d), and output-folded (kd*F-wide conv2d +
+        shifted depth sum) formulations."""
         from flax import linen as nn
         from snvc_tpu.models.layers import Conv3d
 
         x = jnp.asarray(rng.standard_normal((2, 8, 10, 12, 6)), jnp.float32)
-        mod = Conv3d(4, kernel, stride, dilation, fold_depth=fold)
+        mod = Conv3d(4, kernel, stride, dilation, fold_depth=fold,
+                     fold_output=fold_out)
         v = mod.init(jax.random.PRNGKey(0), x)
         got = mod.apply(v, x)
         pad = tuple(((k - 1) // 2 * dilation,) * 2 for k in kernel)
