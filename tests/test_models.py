@@ -242,6 +242,34 @@ class TestConv3dDecomposition:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_fold_formulation_grads_match(self, rng):
+        """All three exact formulations must agree in the BACKWARD pass
+        too (training can run with any of them via the env hatches)."""
+        from snvc_tpu.models.layers import Conv3d
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 6)), jnp.float32)
+        grads = {}
+        for name, kw in [
+            ("per_tap", {}),
+            ("fold_depth", {"fold_depth": "always"}),
+            ("fold_out", {"fold_output": "always"}),
+        ]:
+            mod = Conv3d(4, (3, 3, 3), **kw)
+            v = mod.init(jax.random.PRNGKey(0), x)
+
+            def loss(params, xx):
+                return jnp.sum(mod.apply({"params": params}, xx) ** 2)
+
+            gw, gx = jax.grad(loss, argnums=(0, 1))(v["params"], x)
+            grads[name] = (np.asarray(gw["kernel"]), np.asarray(gx))
+        for name in ("fold_depth", "fold_out"):
+            np.testing.assert_allclose(
+                grads[name][0], grads["per_tap"][0], atol=1e-3
+            )
+            np.testing.assert_allclose(
+                grads[name][1], grads["per_tap"][1], atol=1e-3
+            )
+
     def test_convtranspose3d_fast_matches_native(self, rng):
         """The 8-parity subpixel decomposition equals flax's native
         ConvTranspose(k3, s2, pad (1,2)) — the torch (p=1, op=1)
