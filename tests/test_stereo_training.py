@@ -121,6 +121,44 @@ class TestStereoTraining:
         assert losses[-1] < losses[0], losses
         assert float(m["num_pos"]) > 0
 
+
+    def test_w1_offset_train_step_runs(self, kitti_root):
+        """depth_loss='w1' + the learned per-plane offset branch must
+        train end-to-end: finite losses, a finite gradient reaching the
+        offset conv, and the split step agreeing with the monolithic one
+        (the A/B recipe in ROADMAP runs exactly this config)."""
+        from snvc_tpu.training.train_stereo import make_stereo_train_step_split
+
+        cfg = _cfg().replace(depth_loss="w1", depth_offset=True,
+                             num_hourglasses=2)
+        tc = TrainConfig(lr=3e-4, warmup_steps=1, total_steps=20, grad_clip=5.0)
+        ds = KittiDataset(kitti_root, "val")
+        pipe = StereoPipeline(ds, cfg, batch_size=1, max_gt=8)
+        batch = next(pipe.batches()).arrays()
+        model = StereoNet(cfg)
+        state_m = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        state_s = create_stereo_state(model, cfg, tc, jax.random.PRNGKey(0))
+        p0 = jax.tree_util.tree_map(np.asarray, state_m.params)
+        mono = make_stereo_train_step(model, cfg, tc)
+        split = make_stereo_train_step_split(model, cfg, tc)
+        # two steps: the warmup schedule makes the very first update ~0
+        for _ in range(2):
+            state_m, mm = mono(state_m, batch)
+            state_s, ms = split(state_s, batch)
+            assert np.isfinite(float(mm["total"]))
+            np.testing.assert_allclose(
+                float(mm["total"]), float(ms["total"]), rtol=1e-4
+            )
+        # parameters must move under the w1+offset gradients
+        after = jax.tree_util.tree_map(np.asarray, state_m.params)
+        moved = [
+            1
+            for a, b in zip(jax.tree_util.tree_leaves(p0),
+                            jax.tree_util.tree_leaves(after))
+            if a.shape == b.shape and not np.allclose(a, b)
+        ]
+        assert moved, "no parameter moved under the w1+offset step"
+
     def test_split_step_matches_monolithic(self, kitti_root):
         """The three-program split step (the TPU compile-time fix:
         encoder fwd | head value_and_grad | encoder vjp + update) computes
