@@ -24,6 +24,13 @@ def main():
                    help="h w l x y z ry (KITTI rect frame, bottom center)")
     p.add_argument("--update", default="all_parts",
                    choices=["all_parts", "one_part"])
+    p.add_argument("--motion", default="static", choices=["static", "cv"],
+                   help="proposal prior between frames: previous pose, or "
+                   "a constant-velocity extrapolation (EMA-damped) so the "
+                   "refiner only corrects the residual — bounded error "
+                   "over long sequences (docs/TRACKING.md)")
+    p.add_argument("--motion_beta", type=float, default=0.5,
+                   help="EMA damping of the velocity estimate (cv prior)")
     args = p.parse_args()
 
     import numpy as np
@@ -48,7 +55,8 @@ def main():
     runner = RefineRunner(model, params, cfg.replace(max_instances=1))
     tracker = Tracker(runner, cfg.replace(max_instances=1), update=args.update)
     scenes = [ds.scene(i) for i in args.frames]
-    states = tracker.track(scenes, np.array(args.init_box))
+    states = tracker.track(scenes, np.array(args.init_box),
+                           motion=args.motion, beta=args.motion_beta)
     for fi, st in zip(args.frames, states):
         b = st.box
         print(
