@@ -180,6 +180,19 @@ class Conv3d(nn.Module):
     fold_depth: str = "never"  # "never" | "auto" | "always"
     fold_output: str = "never"  # "never" | "auto" | "always"
     pallas: str = "never"  # "never" | "auto" — implicit-GEMM k3^3 kernel
+    # grouped-tap single-dispatch formulation (SNVC_GROUP_TAPS hatch): the
+    # kd depth-shifted slabs concatenated on channels like fold_depth, but
+    # convolved with feature_group_count=kd so group dz contracts slab dz
+    # against w[dz] alone (an [kh, kw, C, kd*F] grouped GEMM — kd*F output
+    # lanes instead of F), then a tap-axis f32 reduce.  Exact; candidate
+    # from the round-4b per-stage profile (tools/bench_conv1_k7.py).
+    group_taps: str = "never"  # "never" | "always"
+    # cross-tap accumulation dtype for the per-tap path (SNVC_TAP_ACCUM):
+    # "f32" upcasts each tap's conv output before the 7-way sum (safest);
+    # "compute" keeps the sum in the compute dtype — each tap still
+    # accumulates its own 49*C-deep contraction in f32 inside the MXU, so
+    # only the final kd-way add is low-precision.
+    tap_accum: str = "f32"  # "f32" | "compute"
 
     @nn.compact
     def __call__(self, x):
@@ -245,10 +258,16 @@ class Conv3d(nn.Module):
                     )
                     out = out + b.astype(dt)
                 return out
+        gmode = os.environ.get("SNVC_GROUP_TAPS", self.group_taps)
+        group = sd == 1 and kd > 1 and not fold and not fold_out and (
+            gmode == "always"
+        )
         if fold:
             return self._fold_depth_conv(x, w, dt)
         if fold_out:
             return self._fold_output_conv(x, w, dt)
+        if group:
+            return self._group_taps_conv(x, w, dt)
         # torch-symmetric padding along depth: (k-1)//2 * dilation per side,
         # the same formula as ConvNorm (equals flax-SAME at stride 1; at
         # stride 2 flax-SAME pads (0, 1) which misaligns converted torch
@@ -258,6 +277,9 @@ class Conv3d(nn.Module):
         pad_d = (kd - 1) // 2 * dil
         Do = (D + 2 * pad_d - eff_kd) // sd + 1
         xp = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
+        # cross-tap accumulation dtype (see tap_accum field doc)
+        acc = os.environ.get("SNVC_TAP_ACCUM", self.tap_accum)
+        acc_dt = jnp.float32 if acc == "f32" else dt
         out = None
         for dz in range(kd):
             start = dz * dil
@@ -276,7 +298,7 @@ class Conv3d(nn.Module):
                 ((pad_h, pad_h), (pad_w, pad_w)),
                 rhs_dilation=(dil, dil),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ).astype(jnp.float32)
+            ).astype(acc_dt)
             out = o if out is None else out + o
         out = out.astype(dt)
         if self.use_bias:
@@ -328,6 +350,47 @@ class Conv3d(nn.Module):
                            jnp.float32)
             out = out + b.astype(dt)
         return out
+
+    def _group_taps_conv(self, x, w, dt):
+        """Exact sd==1 formulation: the kd depth-shifted slabs concatenated
+        on channels (as in _fold_depth_conv) but convolved as a GROUPED
+        conv2d with feature_group_count=kd — group dz contracts slab dz
+        against w[dz] alone, producing kd*F output channels in one GEMM
+        phase — followed by a tap-axis f32 reduce."""
+        kd, kh, kw = self.kernel
+        _, sh, sw = self.stride
+        dil = self.dilation
+        N, D, H, W, C = x.shape
+        F = self.features
+        pad_d = (kd - 1) // 2 * dil
+        eff_kd = (kd - 1) * dil + 1
+        Do = D + 2 * pad_d - eff_kd + 1
+        xp = jnp.pad(x, ((0, 0), (pad_d, pad_d), (0, 0), (0, 0), (0, 0)))
+        slabs = jnp.concatenate(
+            [xp[:, dz * dil : dz * dil + Do] for dz in range(kd)], axis=-1
+        )  # [N, Do, H, W, kd*C]
+        # [kd, kh, kw, C, F] -> [kh, kw, C, kd*F]; group dz reads O block dz
+        wg = jnp.concatenate([w[dz] for dz in range(kd)], axis=-1)
+        pad_h = (kh - 1) // 2 * dil
+        pad_w = (kw - 1) // 2 * dil
+        ys = jax.lax.conv_general_dilated(
+            slabs.reshape(N * Do, H, W, kd * C),
+            wg,
+            (sh, sw),
+            ((pad_h, pad_h), (pad_w, pad_w)),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=kd,
+        )
+        Ho, Wo = ys.shape[1], ys.shape[2]
+        out = jnp.sum(
+            ys.reshape(N * Do, Ho, Wo, kd, F).astype(jnp.float32), axis=3
+        ).astype(dt)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            out = out + b.astype(dt)
+        return out.reshape(N, Do, Ho, Wo, F)
 
     def _fold_depth_conv(self, x, w, dt):
         """Exact sd==1 formulation: kd depth-shifted slices concatenated on

@@ -242,8 +242,58 @@ class TestConv3dDecomposition:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    @pytest.mark.parametrize(
+        "kernel,stride,dilation",
+        [
+            ((3, 3, 3), (1, 1, 1), 1),
+            ((7, 7, 7), (1, 1, 1), 1),  # the flagship conv1_k7 shape class
+            ((3, 3, 3), (1, 1, 1), 2),
+            ((3, 3, 3), (2, 2, 2), 1),  # depth-strided: falls back per-tap
+        ],
+    )
+    def test_group_taps_matches_native(self, rng, kernel, stride, dilation):
+        """The grouped-tap single-GEMM formulation (feature_group_count=kd)
+        must equal native Conv3D; "always" must also be safe on
+        depth-strided convs via the per-tap fallback."""
+        from flax import linen as nn
+        from snvc_tpu.models.layers import Conv3d
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 10, 12, 6)), jnp.float32)
+        mod = Conv3d(4, kernel, stride, dilation, group_taps="always")
+        v = mod.init(jax.random.PRNGKey(0), x)
+        got = mod.apply(v, x)
+        pad = tuple(((k - 1) // 2 * dilation,) * 2 for k in kernel)
+        ref = nn.Conv(4, kernel, strides=stride, padding=pad,
+                      kernel_dilation=(dilation,) * 3, use_bias=False)
+        want = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def test_tap_accum_compute_dtype(self, rng):
+        """tap_accum="compute" keeps the cross-tap sum in the compute dtype;
+        in f32 that is exactly the f32-accum result, and in bf16 it must
+        stay within bf16 resolution of the f32-accum reference."""
+        from snvc_tpu.models.layers import Conv3d
+
+        x32 = jnp.asarray(rng.standard_normal((1, 6, 8, 8, 6)), jnp.float32)
+        ref_mod = Conv3d(4, (3, 3, 3))
+        v = ref_mod.init(jax.random.PRNGKey(0), x32)
+        want = ref_mod.apply(v, x32)
+        got = Conv3d(4, (3, 3, 3), tap_accum="compute").apply(v, x32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+        bf_ref = Conv3d(4, (3, 3, 3), dtype=jnp.bfloat16).apply(
+            v, x32.astype(jnp.bfloat16)
+        )
+        bf_got = Conv3d(4, (3, 3, 3), dtype=jnp.bfloat16,
+                        tap_accum="compute").apply(v, x32.astype(jnp.bfloat16))
+        scale = float(jnp.max(jnp.abs(bf_ref.astype(jnp.float32))))
+        delta = float(jnp.max(jnp.abs(
+            bf_got.astype(jnp.float32) - bf_ref.astype(jnp.float32)
+        )))
+        assert delta / scale < 0.02
+
     def test_fold_formulation_grads_match(self, rng):
-        """All three exact formulations must agree in the BACKWARD pass
+        """All the exact formulations must agree in the BACKWARD pass
         too (training can run with any of them via the env hatches)."""
         from snvc_tpu.models.layers import Conv3d
 
@@ -253,6 +303,7 @@ class TestConv3dDecomposition:
             ("per_tap", {}),
             ("fold_depth", {"fold_depth": "always"}),
             ("fold_out", {"fold_output": "always"}),
+            ("group_taps", {"group_taps": "always"}),
         ]:
             mod = Conv3d(4, (3, 3, 3), **kw)
             v = mod.init(jax.random.PRNGKey(0), x)
@@ -262,7 +313,7 @@ class TestConv3dDecomposition:
 
             gw, gx = jax.grad(loss, argnums=(0, 1))(v["params"], x)
             grads[name] = (np.asarray(gw["kernel"]), np.asarray(gx))
-        for name in ("fold_depth", "fold_out"):
+        for name in ("fold_depth", "fold_out", "group_taps"):
             np.testing.assert_allclose(
                 grads[name][0], grads["per_tap"][0], atol=1e-3
             )
