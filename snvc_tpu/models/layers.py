@@ -229,8 +229,14 @@ class Conv3d(nn.Module):
         # from F/128 to min(kd*F, 128)/128.  F >= 128 already fills the
         # lanes; kd*F is capped so the widened activation stays cheap.
         omode = os.environ.get("SNVC_FOLD_OUT", self.fold_output)
+        # "k5up": only the large-tap convs (kd >= 5), where the batch-2
+        # shoot-out (artifacts/perf_r4/conv_shootout_b2.json) measured
+        # fold_out 1.79x (k7) / 1.2x (k5) while k3 shapes lose — the
+        # earlier blanket-auto model A/B (-20 %, BENCH.md 2026-08-19)
+        # folded every conv including the losers.
         fold_out = sd == 1 and kd > 1 and not fold and (
             omode == "always"
+            or (omode == "k5up" and kd >= 5 and self.features < 128)
             or (omode == "auto" and self.features < 128
                 and kd * self.features <= 512)
         )

@@ -170,6 +170,84 @@ class TestPallasSamplerInterpret:
         assert got.shape == want.shape == (N, 4, 8, 8, 2 * C)
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    def _banded_case(self, rng, N=1, Hf=32, Wf=32, C=8, tight=True):
+        """Features + projections whose per-block row span fits (or
+        violates, tight=False) the 2x16-row banded window."""
+        from snvc_tpu.ops.grid_sample_pallas import _BLOCK
+
+        roi_hw = (128, 128)  # stride 4 -> feature rows = roi/4
+        grid_res = (2, 32, 32)  # P = 2048 = 2 blocks
+        P = 2 * 32 * 32
+        lf = jnp.asarray(rng.standard_normal((N, Hf, Wf, C)), jnp.float32)
+        rf = jnp.asarray(rng.standard_normal((N, Hf, Wf, C)), jnp.float32)
+        gl = np.empty((N, P, 2), np.float32)
+        gr = np.empty((N, P, 2), np.float32)
+        for g in (gl, gr):
+            g[..., 0] = rng.uniform(-10, 138, (N, P))  # x: anywhere
+            for b in range(P // _BLOCK):
+                sl = slice(b * _BLOCK, (b + 1) * _BLOCK)
+                if tight:
+                    # rows within a ~9-row feature window, arbitrary start
+                    r0 = rng.uniform(0, Hf - 10)
+                    g[:, sl, 1] = rng.uniform(
+                        r0 * 4, (r0 + 9) * 4, (N, _BLOCK)
+                    )
+                else:
+                    g[:, sl, 1] = rng.uniform(-10, 138, (N, _BLOCK))
+        # sprinkle out-of-view points (must not affect the band choice)
+        gl[:, ::97, 1] = -50.0
+        gr[:, ::89, 1] = 200.0
+        return lf, rf, jnp.asarray(gl), jnp.asarray(gr), roi_hw, grid_res
+
+    def test_banded_kernel_matches_xla(self, rng, monkeypatch):
+        """Forced banded path (SNVC_SAMPLE_BAND=always) on band-fitting
+        projections equals the XLA sampler — the exactness contract of the
+        row-banded windows."""
+        from snvc_tpu.ops.grid_sample_pallas import _sample_stereo_voxel_impl
+
+        monkeypatch.setenv("SNVC_SAMPLE_BAND", "always")
+        lf, rf, gl, gr, roi_hw, grid_res = self._banded_case(rng)
+        got = np.asarray(
+            _sample_stereo_voxel_impl(lf, rf, gl, gr, roi_hw, grid_res,
+                                      interpret=True)
+        )
+        want = np.asarray(sample_stereo_voxel(lf, rf, gl, gr, roi_hw, grid_res))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_banded_auto_falls_back_when_span_too_wide(self, rng, monkeypatch):
+        """auto mode on projections whose row span exceeds the window must
+        still be exact (the per-call fit check dispatches the full kernel)."""
+        from snvc_tpu.ops.grid_sample_pallas import _sample_stereo_voxel_impl
+
+        monkeypatch.setenv("SNVC_SAMPLE_BAND", "auto")
+        lf, rf, gl, gr, roi_hw, grid_res = self._banded_case(rng, tight=False)
+        got = np.asarray(
+            _sample_stereo_voxel_impl(lf, rf, gl, gr, roi_hw, grid_res,
+                                      interpret=True)
+        )
+        want = np.asarray(sample_stereo_voxel(lf, rf, gl, gr, roi_hw, grid_res))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_banded_auto_exact_on_tight_spans(self, rng, monkeypatch):
+        """auto mode on band-fitting projections (the banded branch of the
+        cond) is exact too."""
+        from snvc_tpu.ops.grid_sample_pallas import (
+            _band_indices, _sample_stereo_voxel_impl,
+        )
+
+        monkeypatch.setenv("SNVC_SAMPLE_BAND", "auto")
+        lf, rf, gl, gr, roi_hw, grid_res = self._banded_case(rng)
+        # the fit check must actually select the banded branch here
+        Hf = lf.shape[1]
+        _, ok = _band_indices(gl, Hf, Hf / roi_hw[0], gl.shape[1] // 1024)
+        assert bool(np.asarray(ok).all())
+        got = np.asarray(
+            _sample_stereo_voxel_impl(lf, rf, gl, gr, roi_hw, grid_res,
+                                      interpret=True)
+        )
+        want = np.asarray(sample_stereo_voxel(lf, rf, gl, gr, roi_hw, grid_res))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
     def test_pallas_sampler_custom_vjp_matches_xla(self, rng):
         """The custom_vjp backward (_sample_bwd, the XLA twin's VJP)
         produces the same cotangents as differentiating the XLA sampler
