@@ -21,6 +21,10 @@ by scalar-prefetched per-block window indices — halving the lane extent
 (and so the MXU tile count) of both matmuls.  A per-call fit check
 dispatches the full kernel via lax.cond whenever any block's span exceeds
 the window, so the banded path is always exact.
+
+SNVC_SAMPLE_BAND=always is a TEST-ONLY hatch: it skips the fit check, and
+any block whose row span exceeds the 2x16-row window silently loses the
+out-of-window taps.  Production perf tuning should use auto/never only.
 """
 
 from __future__ import annotations
@@ -135,9 +139,10 @@ def _sample_one_view_banded(g, t0, t1, i0, Hf, Wf, C, scale):
 
 def _kernel_banded(band_ref, gl_ref, gr_ref, lt0_ref, lt1_ref, rt0_ref,
                    rt1_ref, out_l_ref, out_r_ref, *, Hf, Wf, C, scale):
-    """Grid (N, P/B); band_ref [N, nblocks, 2] scalar-prefetched window
-    indices (units of _BAND rows) steering the window DMAs via the
-    BlockSpec index maps below."""
+    """Grid (N, P/B); band_ref [2, N, nblocks] scalar-prefetched window
+    indices (view axis FIRST — see the SMEM-padding note at the stack
+    site; units of _BAND rows) steering the window DMAs via the BlockSpec
+    index maps below."""
     n = pl.program_id(0)
     b = pl.program_id(1)
     out_l_ref[0] = _sample_one_view_banded(
@@ -228,7 +233,8 @@ def _sample_stereo_voxel_impl(
 
     # Banding requires 16-row-aligned windows and 128-lane-aligned blocks.
     band_possible = (
-        _band_mode() != "never"
+        _HAS_PLTPU  # banded_call needs pltpu.PrefetchScalarGridSpec
+        and _band_mode() != "never"
         and Hf % _BAND == 0
         and Hf >= 2 * _BAND
         and (_BAND * C) % 128 == 0

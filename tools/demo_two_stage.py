@@ -482,6 +482,13 @@ def main():
     p3_50 = run_kitti_eval(gt_dir, prop_res, car_min_iou=0.5)[
         "car"]["detection_3d"]["ap40"]
     log(f"AP3D@0.5(proposals) e/m/h: {p3_50}")
+    per_class = {}
+    for c in classes:
+        row = ap_prop.get(c.lower(), {}).get("detection_3d")
+        if row is not None:
+            per_class[c] = row["ap40"]
+            if c != "Car":
+                log(f"AP3D(proposals/{c}) e/m/h: {row['ap40']}")
     if args.stage1_only:
         result = {
             "ap3d_proposals": p3,
@@ -492,17 +499,12 @@ def main():
             "depth_loss": args.depth_loss,
             "depth_offset": args.depth_offset,
         }
+        if len(classes) > 1:
+            result["per_class_ap3d_proposals"] = per_class
         print(json.dumps(result))
         with open(os.path.join(args.work_dir, "stage1.json"), "w") as f:
             json.dump(result, f, indent=2)
         return 0 if p3[1] > 0 else 1
-    per_class = {}
-    for c in classes:
-        row = ap_prop.get(c.lower(), {}).get("detection_3d")
-        if row is not None:
-            per_class[c] = row["ap40"]
-            if c != "Car":
-                log(f"AP3D(proposals/{c}) e/m/h: {row['ap40']}")
 
     # ---- stage 2: train vernier with matched noise, refine, score -------
     noise_loc, noise_rot, noise_bank = measure_proposal_error(
