@@ -16,8 +16,18 @@ Prints one JSON line per benchmarked configuration:
 
 The bare invocation (the driver's) runs the FULL surface — vernier small,
 vernier flagship (release-scale 32x192x192 grid), and the global stereo
-model — one line each.  --config/--model narrow to a single line for
-iterating.
+model — one line each, each in its OWN subprocess (hermetic: the same
+fresh-process methodology the in-repo single-config numbers use; round-5
+ruled out cross-config interaction, but hermetic keeps the driver capture
+and the iterating methodology identical by construction).
+--config/--model narrow to a single line for iterating.
+
+Every JSON line also carries a calibration co-measurement
+(``calib_tflops``: a fixed 64-step chained-matmul program timed in the
+same process/window as the model loop).  The dev-tunnel service's
+speed drifts and has transient degraded windows (BENCH.md round-5: a
+capture read 0.36x the same-commit healthy number); the calibration
+number pins the window's health next to every throughput it produced.
 """
 
 import argparse
@@ -70,6 +80,53 @@ def mfu_fields(cost, seconds_per_step):
             peak_hbm_gbps_assumed=PEAK_HBM_GBPS,
         )
     return out
+
+
+_CALIB = {}
+
+
+def calibrate(iters: int = 6):
+    """Window-health co-measurement: a fixed known-cost program (64
+    chained 2048x2048 bf16 matmuls under one jit, ~1.1 TFLOP) timed on
+    distinct device inputs, median of ``iters``.  Returns achieved TF/s
+    for the calibration program — a service-window constant independent
+    of the model being benchmarked; cached per process."""
+    if "tflops" in _CALIB:
+        return _CALIB["tflops"]
+    import jax
+    import jax.numpy as jnp
+
+    K = 64
+    n = 2048
+    flops = 2.0 * K * n * n * n
+
+    def prog(a):
+        def body(_, x):
+            y = x @ x
+            # cheap renormalization keeps values finite across 64 matmuls
+            return y * (1.0 / jnp.float32(n).astype(jnp.bfloat16))
+
+        return jax.lax.fori_loop(0, K, body, a)
+
+    f = jax.jit(prog)
+    rng = np.random.default_rng(3)
+    xs = [
+        jax.device_put(
+            jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16),
+            jax.devices()[0],
+        )
+        for _ in range(iters + 2)
+    ]
+    jax.block_until_ready(xs)
+    ts = []
+    for x in xs:
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts = sorted(ts[2:])
+    med = ts[len(ts) // 2]
+    _CALIB["tflops"] = round(flops / med / 1e12, 1)
+    return _CALIB["tflops"]
 
 
 def build(config: str):
@@ -181,6 +238,7 @@ def emit_stereo(iters: int, batch: int = 1):
                 "vs_baseline": round(pps / 1.0, 3),
                 "baseline_anchor": 1.0,
                 "baseline_kind": "declared_not_measured",
+                "calib_tflops": calibrate(),
                 **mfu_fields(cost, 1.0 / rate),
             }
         ),
@@ -249,11 +307,23 @@ def main():
         sys.exit("bench: --batch applies to the stereo model; pass "
                  "--model stereo")
     if args.config == "all":
-        # full driver surface: three JSON lines
-        bench_vernier("small", args.iters)
-        bench_vernier("flagship", args.iters)
-        emit_stereo(args.iters)
-        return
+        # full driver surface: three JSON lines, each config in its OWN
+        # subprocess (hermetic — identical to the single-config
+        # methodology; stdout passes straight through)
+        import subprocess
+
+        me = os.path.abspath(__file__)
+        rc = 0
+        for sub in (
+            ["--config", "small"],
+            ["--config", "flagship"],
+            ["--model", "stereo"],
+        ):
+            r = subprocess.run(
+                [sys.executable, me, *sub, "--iters", str(args.iters)]
+            )
+            rc = rc or r.returncode
+        sys.exit(rc)
     bench_vernier(args.config, args.iters)
 
 
@@ -354,6 +424,7 @@ def bench_vernier(config: str, iters: int):
                 ),
                 "baseline_anchor": REFERENCE_ANCHOR_INSTANCES_PER_SEC,
                 "baseline_kind": "declared_not_measured",
+                "calib_tflops": calibrate(),
                 **mfu_fields(cost, sec_per_step),
             }
         ),

@@ -1,6 +1,10 @@
 #!/bin/bash
 # Round-5 main chain (VERDICT r4 "next round" #2/#3/#4/#6/#7/#9), serialized
 # because the axon TPU tolerates exactly one JAX client at a time (CLAUDE.md).
+# Every TPU job runs under tools/watchdog_run.py: the tunnel wedged three
+# clients on 2026-08-20 alone, training scripts checkpoint + resume, so a
+# stall is detected (CPU-time frozen), the client killed by exact PID, and
+# the job relaunched to resume from its last checkpoint.
 #
 # Ordered by information value per wall-clock dollar:
 #   1. BIG compose run (the round's headline): stage-1 at the round-3 banked
@@ -25,55 +29,56 @@ set -ux
 cd /root/repo
 mkdir -p .runs artifacts/r5
 
+WD="python tools/watchdog_run.py --max-restarts 10"
 BIG="--train_frames 2048 --stereo_steps 16000 --reg_heading_sym \
      --augment_flip --depth_loss w1 --depth_offset --ckpt_every 1000"
 
 # 1. BIG compose: strong stage-1 + 512-frame val + 8000-step refiner
-python tools/demo_two_stage.py --work_dir .runs/r5_big $BIG \
-    --val_frames 512 --vernier_steps 8000 --noise_rot_cap 25 \
-    > .runs/r5_big.log 2>&1 || true
+$WD --log .runs/r5_big.log --total-timeout 25200 -- \
+    python tools/demo_two_stage.py --work_dir .runs/r5_big $BIG \
+    --val_frames 512 --vernier_steps 8000 --noise_rot_cap 25 || true
 cp .runs/r5_big/two_stage.json artifacts/r5/big_two_stage.json || true
 
 # 2. 128-split scoring of the same checkpoint (round-3 comparability)
 mkdir -p .runs/r5_big_val128
 ln -sfn "$(pwd)/.runs/r5_big/kitti_train" .runs/r5_big_val128/kitti_train
 ln -sfn "$(pwd)/.runs/r5_big/stereo_ckpt" .runs/r5_big_val128/stereo_ckpt
-python tools/demo_two_stage.py --work_dir .runs/r5_big_val128 $BIG \
-    --val_frames 128 --stage1_only --reuse_stereo \
-    > .runs/r5_big_val128.log 2>&1 || true
+$WD --log .runs/r5_big_val128.log --total-timeout 5400 -- \
+    python tools/demo_two_stage.py --work_dir .runs/r5_big_val128 $BIG \
+    --val_frames 128 --stage1_only --reuse_stereo || true
 cp .runs/r5_big_val128/stage1.json artifacts/r5/big_stage1_val128.json || true
 
 # 3. W1+offset replication, different seed (data + init)
-python tools/demo_two_stage.py --work_dir .runs/r5_w1_seed7 --stage1_only \
+$WD --log .runs/r5_w1_seed7.log --total-timeout 10800 -- \
+    python tools/demo_two_stage.py --work_dir .runs/r5_w1_seed7 --stage1_only \
     --train_frames 512 --val_frames 128 --stereo_steps 4000 --seed 7 \
     --reg_heading_sym --augment_flip --depth_loss w1 --depth_offset \
-    --ckpt_every 1000 \
-    > .runs/r5_w1_seed7.log 2>&1 || true
+    --ckpt_every 1000 || true
 cp .runs/r5_w1_seed7/stage1.json artifacts/r5/w1_offset_stage1_seed7.json || true
 
 # 4. curved-trajectory tracking with the BIG run's refiner (cv prior)
-python tools/demo_tracking.py --work_dir .runs/r5_track_curve \
+$WD --log .runs/r5_track_curve.log --total-timeout 3600 -- \
+    python tools/demo_tracking.py --work_dir .runs/r5_track_curve \
     --load_ckpt .runs/r5_big/vernier_ckpt --seq_frames 20 --motion cv \
-    --yaw_rate 0.1 \
-    > .runs/r5_track_curve.log 2>&1 || true
+    --yaw_rate 0.1 || true
 cp .runs/r5_track_curve/tracking.json artifacts/r5/tracking_curve_cv.json || true
 
 # 5. 3-class stage-1 at the small recipe
-python tools/demo_two_stage.py --work_dir .runs/r5_mc --stage1_only \
+$WD --log .runs/r5_mc.log --total-timeout 10800 -- \
+    python tools/demo_two_stage.py --work_dir .runs/r5_mc --stage1_only \
     --classes Car,Pedestrian,Cyclist --boxes_per_frame 4 \
     --train_frames 512 --val_frames 128 --stereo_steps 4000 \
     --reg_heading_sym --augment_flip --depth_loss w1 --depth_offset \
-    --ckpt_every 1000 \
-    > .runs/r5_mc.log 2>&1 || true
+    --ckpt_every 1000 || true
 cp .runs/r5_mc/stage1.json artifacts/r5/multiclass_stage1.json || true
 
 # 6. stacked-hourglass A/B at the strong regime (reuses the BIG dataset)
 mkdir -p .runs/r5_big_hg2
 ln -sfn "$(pwd)/.runs/r5_big/kitti_train" .runs/r5_big_hg2/kitti_train
 ln -sfn "$(pwd)/.runs/r5_big/kitti_val" .runs/r5_big_hg2/kitti_val
-python tools/demo_two_stage.py --work_dir .runs/r5_big_hg2 $BIG \
-    --val_frames 512 --stage1_only --num_hourglasses 2 \
-    > .runs/r5_big_hg2.log 2>&1 || true
+$WD --log .runs/r5_big_hg2.log --total-timeout 25200 -- \
+    python tools/demo_two_stage.py --work_dir .runs/r5_big_hg2 $BIG \
+    --val_frames 512 --stage1_only --num_hourglasses 2 || true
 cp .runs/r5_big_hg2/stage1.json artifacts/r5/big_stage1_hg2.json || true
 
 echo "R5 TAKEOVER COMPLETE"
