@@ -180,6 +180,13 @@ class Conv3d(nn.Module):
     fold_depth: str = "never"  # "never" | "auto" | "always"
     fold_output: str = "never"  # "never" | "auto" | "always"
     pallas: str = "never"  # "never" | "auto" — implicit-GEMM k3^3 kernel
+    # in-VMEM fold_out Pallas kernel for the large-tap (kd >= 5) shapes
+    # (SNVC_FOLD_VMEM hatch): the fold_out GEMM won 1.79x/1.2x standalone
+    # on k7/k5 (round-4c) but regressed -23 % composed because the
+    # kd*F-widened activation round-trips HBM (round-4d); this kernel
+    # keeps the widened tile and the tap accumulator in VMEM
+    # (ops/conv3d_fold_pallas.py).
+    fold_vmem: str = "never"  # "never" | "auto"
     # grouped-tap single-dispatch formulation (SNVC_GROUP_TAPS hatch): the
     # kd depth-shifted slabs concatenated on channels like fold_depth, but
     # convolved with feature_group_count=kd so group dz contracts slab dz
@@ -257,6 +264,22 @@ class Conv3d(nn.Module):
 
             if conv3d_k3_available(x.shape, w.shape):
                 out = conv3d_k3(x, w)
+                if self.use_bias:
+                    b = self.param(
+                        "bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32,
+                    )
+                    out = out + b.astype(dt)
+                return out
+        vmode = os.environ.get("SNVC_FOLD_VMEM", self.fold_vmem)
+        if vmode != "never" and jax.default_backend() not in ("cpu",):
+            from snvc_tpu.ops.conv3d_fold_pallas import (
+                conv3d_fold_vmem,
+                fold_vmem_available,
+            )
+
+            if fold_vmem_available(x.shape, w.shape, self.stride, dil):
+                out = conv3d_fold_vmem(x, w, dil)
                 if self.use_bias:
                     b = self.param(
                         "bias", nn.initializers.zeros, (self.features,),

@@ -118,7 +118,7 @@ def make_variants(B, D, H, W, Cin, F, k, w, dt):
             dt
         ).reshape(B, D, H, W, F)
 
-    return {
+    variants = {
         "per_tap": lambda x: per_tap(x, True),
         "per_tap_bf16": lambda x: per_tap(x, False),
         "grouped_tap": grouped_tap,
@@ -126,6 +126,17 @@ def make_variants(B, D, H, W, Cin, F, k, w, dt):
         "fold_out": fold_out,
         "fold_depth": fold_depth,
     }
+
+    # round-5: the in-VMEM fold_out Pallas kernel (the widened GEMM tile
+    # and tap accumulator never leave the chip — ops/conv3d_fold_pallas)
+    from snvc_tpu.ops.conv3d_fold_pallas import (
+        conv3d_fold_vmem,
+        fold_vmem_available,
+    )
+
+    if fold_vmem_available((B, D, H, W, Cin), (k, k, k, Cin, F)):
+        variants["fold_vmem"] = lambda x: conv3d_fold_vmem(x, w, 1)
+    return variants
 
 
 def run_case(case, args, rng):

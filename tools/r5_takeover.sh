@@ -22,19 +22,28 @@
 #      cv prior, reusing the BIG run's 8000-step refiner (VERDICT #9).
 #   5. 3-class stage-1 (Car/Pedestrian/Cyclist) at the small recipe
 #      (VERDICT #7: nonzero Ped/Cyc AP beyond plumbing).
-#   6. Stacked-hourglass A/B at the strong regime (VERDICT #6) — last, may
-#      be cut by wall-clock.
+#   6. Stacked-hourglass A/B at the strong regime (VERDICT #6) — cut this
+#      round: at ~1 s/step the 12k-step arm does not fit the wall-clock
+#      budget alongside 1-5 plus the reserved perf-A/B window.
+#
+# Wall-clock retune (session start 00:30 UTC, round ends ~09:10): BIG's
+# stereo schedule is 12k steps, not the round-3 16k — at ~1 s/step the
+# 16k recipe alone (~6 h with rendering + refinement) would consume the
+# round and cut stages 2-5 AND the VERDICT-#5 fused-conv perf window.
+# The W1+offset loss tripled stage-1 AP3D at the 4k-step recipe, so the
+# "beat 7.7 moderate" target (VERDICT #2) should survive 0.75x the steps;
+# the recipe delta is recorded in TWO_STAGE.md alongside the result.
 # Usage: bash tools/r5_takeover.sh  (nothing else may hold the tunnel)
 set -ux
 cd /root/repo
 mkdir -p .runs artifacts/r5
 
 WD="python tools/watchdog_run.py --max-restarts 10"
-BIG="--train_frames 2048 --stereo_steps 16000 --reg_heading_sym \
+BIG="--train_frames 2048 --stereo_steps 12000 --reg_heading_sym \
      --augment_flip --depth_loss w1 --depth_offset --ckpt_every 1000"
 
 # 1. BIG compose: strong stage-1 + 512-frame val + 8000-step refiner
-$WD --log .runs/r5_big.log --total-timeout 25200 -- \
+$WD --log .runs/r5_big.log --total-timeout 19800 -- \
     python tools/demo_two_stage.py --work_dir .runs/r5_big $BIG \
     --val_frames 512 --vernier_steps 8000 --noise_rot_cap 25 || true
 cp .runs/r5_big/two_stage.json artifacts/r5/big_two_stage.json || true
@@ -49,7 +58,7 @@ $WD --log .runs/r5_big_val128.log --total-timeout 5400 -- \
 cp .runs/r5_big_val128/stage1.json artifacts/r5/big_stage1_val128.json || true
 
 # 3. W1+offset replication, different seed (data + init)
-$WD --log .runs/r5_w1_seed7.log --total-timeout 10800 -- \
+$WD --log .runs/r5_w1_seed7.log --total-timeout 7200 -- \
     python tools/demo_two_stage.py --work_dir .runs/r5_w1_seed7 --stage1_only \
     --train_frames 512 --val_frames 128 --stereo_steps 4000 --seed 7 \
     --reg_heading_sym --augment_flip --depth_loss w1 --depth_offset \
@@ -64,7 +73,7 @@ $WD --log .runs/r5_track_curve.log --total-timeout 3600 -- \
 cp .runs/r5_track_curve/tracking.json artifacts/r5/tracking_curve_cv.json || true
 
 # 5. 3-class stage-1 at the small recipe
-$WD --log .runs/r5_mc.log --total-timeout 10800 -- \
+$WD --log .runs/r5_mc.log --total-timeout 7200 -- \
     python tools/demo_two_stage.py --work_dir .runs/r5_mc --stage1_only \
     --classes Car,Pedestrian,Cyclist --boxes_per_frame 4 \
     --train_frames 512 --val_frames 128 --stereo_steps 4000 \
@@ -72,13 +81,9 @@ $WD --log .runs/r5_mc.log --total-timeout 10800 -- \
     --ckpt_every 1000 || true
 cp .runs/r5_mc/stage1.json artifacts/r5/multiclass_stage1.json || true
 
-# 6. stacked-hourglass A/B at the strong regime (reuses the BIG dataset)
-mkdir -p .runs/r5_big_hg2
-ln -sfn "$(pwd)/.runs/r5_big/kitti_train" .runs/r5_big_hg2/kitti_train
-ln -sfn "$(pwd)/.runs/r5_big/kitti_val" .runs/r5_big_hg2/kitti_val
-$WD --log .runs/r5_big_hg2.log --total-timeout 25200 -- \
-    python tools/demo_two_stage.py --work_dir .runs/r5_big_hg2 $BIG \
-    --val_frames 512 --stage1_only --num_hourglasses 2 || true
-cp .runs/r5_big_hg2/stage1.json artifacts/r5/big_stage1_hg2.json || true
+# 6. stacked-hourglass A/B at the strong regime — CUT (see header). The
+# exact arm, when a wall-clock budget allows:
+#   demo_two_stage.py --work_dir .runs/r5_big_hg2 $BIG --val_frames 512 \
+#       --stage1_only --num_hourglasses 2   (symlink the BIG datasets in)
 
 echo "R5 TAKEOVER COMPLETE"
