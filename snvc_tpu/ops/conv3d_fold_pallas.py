@@ -16,14 +16,16 @@ composition.
 Formulation (stride 1, odd kernel, any dilation):
 
     out[d] = sum_dz conv2d(xp[d + dz*dil], w[dz])        # per-tap view
-    ysT(p) = A @ B(p)   A: [kd*F, kh*kw*C]   B: [kh*kw*C, TH*W]
+    ysT(p, r) = A @ B(p, r)   A: [kd*F, kh*kw*C]   B: [kh*kw*C, W]
 
 One grid step computes ysT for ONE padded depth plane p and ONE row tile
-(TH output rows), then scatters its kd sublane-blocks into the rolling
-accumulator slot for output depth d = p - dz*dil; slot d%effd is emitted
-when its last tap arrives (plane d + (kd-1)*dil).  The MXU contraction
-is kh*kw*C deep (3136 for k7/C=64) with kd*F x TH*W output tiles — both
-sides well past the 128 MXU width, unlike the per-tap path's F=32 lanes.
+(TH output rows, one dot per row), then scatters the kd sublane-blocks
+into the rolling accumulator slot for output depth d = p - dz*dil; slot
+d%effd is emitted when its last tap arrives (plane d + (kd-1)*dil).  The
+MXU contraction is kh*kw*C deep (3136 for k7/C=64) with kd*F x W output
+tiles — both sides past the 128 MXU width, unlike the per-tap path's
+F=32 lanes.  The per-plane halo DMA is double-buffered across grid steps
+(each step issues the next step's window before computing on its own).
 
 Layout: Mosaic rejects HBM-DMA minors that are not whole 128-lane tiles
 (the measured conv3d_pallas C=64 rejection, BENCH.md 2026-08-19), so the
@@ -32,8 +34,11 @@ only leading axes, and the (C, Wpad) minor pair is (16k, 128m)-tiled by
 construction.  tools/probe_mosaic_align.py verified the remaining
 in-kernel ops (sublane- and lane-offset slicing) on this toolchain; the
 kernel needs NO minor-dim reshape anywhere.  The output leaves the
-kernel as [N, D, F, H*W] and is transposed back to NDHWC by the wrapper
-(two XLA transposes, ~5 ms at flagship scale vs the ~98 ms stage).
+kernel as [N, D, H, F, W] — the SAME layout as the (unpadded) input —
+so chained large-tap convs (the conv1/conv2/conv3 head prelude) compose
+with zero intermediate transposes via ``conv3d_fold_vmem_t``; the NDHWC
+wrapper pays one W<->C swap on each end (~5 ms at flagship scale vs the
+~98 ms stage).
 
 Forward only; gradients fall back to the per-tap XLA formulation via
 custom_vjp, exactly like ops/conv3d_pallas.conv3d_k3.
@@ -90,44 +95,69 @@ def _kernel(x_hbm, a_ref, out_ref, xwin, bmat, acc, sem, *,
     """Grid (N, H//TH, Dp), depth innermost.
 
     x_hbm: [N, Dp, Hpad, C, Wpad] (ANY); a_ref: [kd*F, kh*kw*C] VMEM;
-    out block: [1, 1, F, TH*W]; xwin: [TH+effh-1, C, Wpad] scratch;
-    bmat: [kh*kw*C, TH*W] im2col scratch (built in place — no concat
-    temporaries, the single biggest VMEM consumer);
-    acc: [effd, F, TH*W] f32 rolling accumulator (persists across steps).
+    out block: [1, 1, TH, F, W]; xwin: [2, TH+effh-1, C, Wpad] double
+    buffer (step i computes from slot i%2 while slot (i+1)%2 fills);
+    bmat: [kh*kw*C, W] im2col scratch (rebuilt per output row — no concat
+    temporaries);
+    acc: [effd, TH, F, W] f32 rolling accumulator (persists across steps).
     """
     n = pl.program_id(0)
     h = pl.program_id(1)
     p = pl.program_id(2)
+    HT = pl.num_programs(1)
+    DP = pl.num_programs(2)
     effd = (kd - 1) * dil + 1
     effh = (kh - 1) * dil + 1
+    idx = (n * HT + h) * DP + p
+    total = pl.num_programs(0) * HT * DP
 
-    copy = pltpu.make_async_copy(
-        x_hbm.at[n, p, pl.ds(h * TH, TH + effh - 1)], xwin, sem
-    )
-    copy.start()
-    copy.wait()
+    def dma(i, slot):
+        # flat grid index -> (n', h', p') window coordinates
+        p_ = i % DP
+        nh = i // DP
+        return pltpu.make_async_copy(
+            x_hbm.at[nh // HT, p_, pl.ds((nh % HT) * TH, TH + effh - 1)],
+            xwin.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(idx == 0)
+    def _():
+        dma(idx, 0).start()
+
+    nxt = jnp.minimum(idx + 1, total - 1)  # clamp keeps the (predicated)
+    # last-step prefetch construction in bounds
+
+    @pl.when(idx + 1 < total)
+    def _():
+        dma(nxt, (idx + 1) % 2).start()
+
+    dma(idx, idx % 2).wait()
+    cur = idx % 2
 
     # retire the slot that will hold output depth d == p: its previous
     # occupant (d == p - effd) was emitted at plane p - 1
-    acc[p % effd] = jnp.zeros((F, TH * W), jnp.float32)
+    acc[p % effd] = jnp.zeros((TH, F, W), jnp.float32)
 
-    # B[(kh', kw', c), (r, w)] = xwin[r + kh'*dil, c, w + kw'*dil]
-    for dh in range(kh):
-        for dw in range(kw):
-            base = (dh * kw + dw) * C
-            for r in range(TH):
-                bmat[base : base + C, r * W : (r + 1) * W] = xwin[
-                    r + dh * dil, :, dw * dil : dw * dil + W
+    for r in range(TH):
+        # B[(kh', kw', c), w] = xwin[cur, r + kh'*dil, c, w + kw'*dil]
+        for dh in range(kh):
+            for dw in range(kw):
+                base = (dh * kw + dw) * C
+                bmat[base : base + C, :] = xwin[
+                    cur, r + dh * dil, :, dw * dil : dw * dil + W
                 ]
-    ys = jnp.dot(a_ref[...], bmat[...], preferred_element_type=jnp.float32)
+        ys = jnp.dot(
+            a_ref[...], bmat[...], preferred_element_type=jnp.float32
+        )  # [kd*F, W]
 
-    # scatter the kd tap blocks into their output depths' slots
-    for dz in range(kd):
-        d = p - dz * dil
+        # scatter the kd tap blocks into their output depths' slots
+        for dz in range(kd):
+            d = p - dz * dil
 
-        @pl.when(jnp.logical_and(d >= 0, d < D))
-        def _(dz=dz, d=d):
-            acc[d % effd] += ys[dz * F : (dz + 1) * F, :]
+            @pl.when(jnp.logical_and(d >= 0, d < D))
+            def _(dz=dz, d=d, r=r, ys=ys):
+                acc[d % effd, r] += ys[dz * F : (dz + 1) * F, :]
 
     # output depth p - (effd - 1) saw its last tap this step
     @pl.when(p >= effd - 1)
@@ -156,13 +186,18 @@ def fold_vmem_available(x_shape, w_shape, stride=(1, 1, 1), dilation=1):
 
 
 def _tile_rows(W: int) -> int:
-    """Output rows per grid step: B is the VMEM hog at
-    kh*kw*C * TH*W * 2 bytes (~4.8 MB at k7/C=64/TH=4/W=192)."""
+    """Output rows per grid step.  The im2col B is per-row ([kh*kw*C, W],
+    ~1.2 MB at k7/C=64/W=192); TH sizes the double-buffered halo window,
+    the rolling accumulator (effd*TH*F*W f32) and the output block."""
     return 4 if W >= 128 else 8
 
 
-def _fold_vmem_fwd(x, w, dilation: int = 1, interpret: bool = False):
-    N, D, H, W, C = x.shape
+def _fold_vmem_fwd_t(xt, w, dilation: int = 1, interpret: bool = False):
+    """t-layout forward: [N, D, H, C, W] -> [N, D, H, F, W].
+
+    Input and output share the layout, so chained calls compose without
+    intermediate transposes (each call re-pads, which XLA fuses)."""
+    N, D, H, C, W = xt.shape
     kd, kh, kw, _, F = w.shape
     dil = dilation
     TH = _tile_rows(W)
@@ -173,28 +208,25 @@ def _fold_vmem_fwd(x, w, dilation: int = 1, interpret: bool = False):
     Dp = D + 2 * pad_d
     Wpad = _round_up(W + 2 * pad_w, _LANE)
 
-    # [N, D, H, W, C] -> [N, Dp, Hpad, C, Wpad]
-    xt = jnp.moveaxis(x, -1, 2)  # [N, D, C, H, W]
-    xt = jnp.pad(
+    xp = jnp.pad(
         xt,
         (
             (0, 0),
             (pad_d, pad_d),
-            (0, 0),
             (pad_h, pad_h),
+            (0, 0),
             (pad_w, Wpad - W - pad_w),
         ),
-    )
-    xt = jnp.moveaxis(xt, 2, 3)  # [N, Dp, Hpad, C, Wpad]
+    )  # [N, Dp, Hpad, C, Wpad]
 
     # A[(dz, f), (kh', kw', c)] = w[dz, kh', kw', c, f]
     a = jnp.transpose(w, (0, 4, 1, 2, 3)).reshape(kd * F, kh * kw * C)
-    a = a.astype(x.dtype)
+    a = a.astype(xt.dtype)
 
     kernel = functools.partial(
         _kernel, TH=TH, W=W, C=C, F=F, kd=kd, kh=kh, kw=kw, dil=dil, D=D
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(N, H // TH, Dp),
         in_specs=[
@@ -202,20 +234,24 @@ def _fold_vmem_fwd(x, w, dilation: int = 1, interpret: bool = False):
             pl.BlockSpec((kd * F, kh * kw * C), lambda n, h, p: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, F, TH * W),
-            lambda n, h, p: (n, jnp.clip(p - (effd - 1), 0, D - 1), 0, h),
+            (1, 1, TH, F, W),
+            lambda n, h, p: (n, jnp.clip(p - (effd - 1), 0, D - 1), h, 0, 0),
         ),
-        out_shape=jax.ShapeDtypeStruct((N, D, F, H * W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, D, H, F, W), xt.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + (kh - 1) * dil, C, Wpad), x.dtype),
-            pltpu.VMEM((kh * kw * C, TH * W), x.dtype),
-            pltpu.VMEM((effd, F, TH * W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, TH + (kh - 1) * dil, C, Wpad), xt.dtype),
+            pltpu.VMEM((kh * kw * C, W), xt.dtype),
+            pltpu.VMEM((effd, TH, F, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xt, a)
-    # [N, D, F, H*W] -> NDHWC
-    return jnp.moveaxis(out.reshape(N, D, F, H, W), 2, -1)
+    )(xp, a)
+
+
+def _fold_vmem_fwd(x, w, dilation: int = 1, interpret: bool = False):
+    """NDHWC forward: one W<->C swap on each side of the t-layout kernel."""
+    out = _fold_vmem_fwd_t(jnp.swapaxes(x, -1, -2), w, dilation, interpret)
+    return jnp.swapaxes(out, -1, -2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -238,3 +274,25 @@ def _bwd(dilation, res, g):
 
 
 conv3d_fold_vmem.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_fold_vmem_t(xt, w, dilation: int = 1):
+    """t-layout ([N, D, H, C, W] -> [N, D, H, F, W]) variant for chained
+    prelude convs — zero transposes between consecutive calls."""
+    return _fold_vmem_fwd_t(xt, w, dilation)
+
+
+def _fwd_t(xt, w, dilation):
+    return _fold_vmem_fwd_t(xt, w, dilation), (xt, w)
+
+
+def _bwd_t(dilation, res, g):
+    xt, w = res
+    x = jnp.swapaxes(xt, -1, -2)
+    _, vjp = jax.vjp(lambda xx, ww: conv3d_pertap_xla(xx, ww, dilation), x, w)
+    dx, dw = vjp(jnp.swapaxes(g, -1, -2).astype(x.dtype))
+    return jnp.swapaxes(dx, -1, -2), dw.astype(w.dtype)
+
+
+conv3d_fold_vmem_t.defvjp(_fwd_t, _bwd_t)

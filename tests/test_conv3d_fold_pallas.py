@@ -62,6 +62,28 @@ class TestFoldVmemInterpret:
         # |out| ~ sqrt(343*32)*0.1 ~ 10; bf16 eps ~ 2^-8
         np.testing.assert_allclose(got, want, atol=0.5)
 
+    def test_t_layout_chain_matches_pertap(self, rng):
+        """Two chained t-layout calls (the conv1->conv2 prelude pattern,
+        zero transposes between them) equal the chained per-tap NDHWC
+        reference."""
+        from snvc_tpu.ops.conv3d_fold_pallas import _fold_vmem_fwd_t
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 16, 32)), jnp.float32)
+        w1 = jnp.asarray(
+            rng.standard_normal((7, 7, 7, 32, 16)) * 0.1, jnp.float32
+        )
+        w2 = jnp.asarray(
+            rng.standard_normal((5, 5, 5, 16, 16)) * 0.1, jnp.float32
+        )
+        xt = jnp.swapaxes(x, -1, -2)
+        y1 = _fold_vmem_fwd_t(xt, w1, 1, interpret=True)
+        y2 = _fold_vmem_fwd_t(y1, w2, 2, interpret=True)
+        got = np.asarray(jnp.swapaxes(y2, -1, -2))
+        want = np.asarray(
+            conv3d_pertap_xla(conv3d_pertap_xla(x, w1, 1), w2, 2)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
     def test_availability_gate(self):
         from snvc_tpu.ops import conv3d_fold_pallas as m
 
