@@ -185,8 +185,11 @@ class Conv3d(nn.Module):
     # on k7/k5 (round-4c) but regressed -23 % composed because the
     # kd*F-widened activation round-trips HBM (round-4d); this kernel
     # keeps the widened tile and the tap accumulator in VMEM
-    # (ops/conv3d_fold_pallas.py).
-    fold_vmem: str = "never"  # "never" | "auto"
+    # (ops/conv3d_fold_pallas.py).  DEFAULT since the round-5 same-window
+    # flagship A/B measured it +8.2 % end-to-end (11.42 -> 12.36 inst/s,
+    # BENCH.md round-5b) — the first conv formulation win to survive
+    # composition; `SNVC_FOLD_VMEM=never` restores the per-tap path.
+    fold_vmem: str = "auto"  # "never" | "auto"
     # grouped-tap single-dispatch formulation (SNVC_GROUP_TAPS hatch): the
     # kd depth-shifted slabs concatenated on channels like fold_depth, but
     # convolved with feature_group_count=kd so group dz contracts slab dz

@@ -226,9 +226,19 @@ def _fold_vmem_fwd_t(xt, w, dilation: int = 1, interpret: bool = False):
     kernel = functools.partial(
         _kernel, TH=TH, W=W, C=C, F=F, kd=kd, kh=kh, kw=kw, dil=dil, D=D
     )
+    itemsize = 2 if xt.dtype == jnp.bfloat16 else 4
     return pl.pallas_call(
         kernel,
         grid=(N, H // TH, Dp),
+        # XLA's cost model sees custom calls as ~free; declare the true
+        # executed FLOPs (Dp planes x per-row GEMMs) so bench.py's
+        # cost-analysis MFU accounting stays honest with the kernel on
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * Dp * H * W * kd * F * kh * kw * C,
+            bytes_accessed=(N * Dp * (H + 2 * pad_h) * C * Wpad
+                            + N * D * H * F * W) * itemsize,
+            transcendentals=0,
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((kd * F, kh * kw * C), lambda n, h, p: (0, 0)),
