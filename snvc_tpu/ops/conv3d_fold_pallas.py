@@ -167,7 +167,11 @@ def _kernel(x_hbm, a_ref, out_ref, xwin, bmat, acc, sem, *,
 
 def fold_vmem_available(x_shape, w_shape, stride=(1, 1, 1), dilation=1):
     """Gate: odd kernels with kd >= 5 (where fold_out's standalone win is
-    measured), stride 1, sane channel tiling, row-tileable H."""
+    measured), stride 1, sane channel tiling, row-tileable H, and
+    W >= 128 — the per-row dot's lane dim is W, and the small-config A/B
+    (W=96, artifacts/perf_r5/small_fold_{default,never}.json) measured
+    the under-filled kernel -9 % end-to-end (69.7 vs 76.4 inst/s) while
+    the flagship's W=192 wins +8.2 %."""
     if not _HAS_PLTPU:
         return False
     kd, kh, kw = w_shape[:3]
@@ -181,6 +185,8 @@ def fold_vmem_available(x_shape, w_shape, stride=(1, 1, 1), dilation=1):
     if D < effd:  # rolling emit schedule assumes every slot cycles
         return False
     if C % 16 != 0 or (kd * F) % 8 != 0:
+        return False
+    if W < _LANE:
         return False
     return H % _tile_rows(W) == 0
 

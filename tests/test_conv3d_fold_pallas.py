@@ -40,7 +40,8 @@ class TestFoldVmemInterpret:
             rng.standard_normal(kernel + (shape[-1], feats)) * 0.1,
             jnp.float32,
         )
-        assert fold_vmem_available(shape, w.shape, dilation=dil)
+        # (small test shapes sit below the gate's W >= 128 perf floor;
+        # parity exercises the kernel directly)
         got = np.asarray(_fold_vmem_fwd(x, w, dilation=dil, interpret=True))
         want = np.asarray(conv3d_pertap_xla(x, w, dilation=dil))
         assert got.shape == want.shape
@@ -87,18 +88,21 @@ class TestFoldVmemInterpret:
     def test_availability_gate(self):
         from snvc_tpu.ops import conv3d_fold_pallas as m
 
-        ok = fold_vmem_available((1, 8, 8, 16, 32), (7, 7, 7, 32, 16))
+        ok = fold_vmem_available((1, 8, 8, 192, 32), (7, 7, 7, 32, 16))
         assert ok == m._HAS_PLTPU
         # k3 stays on the per-tap path (fold_out lost those shapes, 4c)
-        assert not fold_vmem_available((1, 8, 8, 16, 32), (3, 3, 3, 32, 16))
+        assert not fold_vmem_available((1, 8, 8, 192, 32), (3, 3, 3, 32, 16))
         # strided, even-kernel, ragged-C, short-D, row-mis-tiled: rejected
         assert not fold_vmem_available(
-            (1, 8, 8, 16, 32), (7, 7, 7, 32, 16), stride=(2, 1, 1)
+            (1, 8, 8, 192, 32), (7, 7, 7, 32, 16), stride=(2, 1, 1)
         )
-        assert not fold_vmem_available((1, 8, 8, 16, 32), (7, 7, 6, 32, 16))
-        assert not fold_vmem_available((1, 8, 8, 16, 24), (7, 7, 7, 24, 16))
-        assert not fold_vmem_available((1, 4, 8, 16, 32), (7, 7, 7, 32, 16))
-        assert not fold_vmem_available((1, 8, 6, 16, 32), (7, 7, 7, 32, 16))
+        assert not fold_vmem_available((1, 8, 8, 192, 32), (7, 7, 6, 32, 16))
+        assert not fold_vmem_available((1, 8, 8, 192, 24), (7, 7, 7, 24, 16))
+        assert not fold_vmem_available((1, 4, 8, 192, 32), (7, 7, 7, 32, 16))
+        assert not fold_vmem_available((1, 8, 6, 192, 32), (7, 7, 7, 32, 16))
+        # W < 128 under-fills the per-row dot's lanes: measured -9 % on
+        # the small config (W=96) — rejected, per-tap path keeps it
+        assert not fold_vmem_available((1, 8, 8, 96, 32), (7, 7, 7, 32, 16))
 
     def test_custom_vjp_grads_match_pertap(self, rng, monkeypatch):
         """conv3d_fold_vmem's backward is the per-tap XLA vjp; check
