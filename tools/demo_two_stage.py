@@ -430,12 +430,17 @@ def main():
                    help="stacked 3D hourglasses over the cost volume with "
                    "intermediate 0.5/0.7/1.0 depth supervision (the "
                    "reference's deep stacked stack, loss3d.py:432-438)")
-    p.add_argument("--depth_loss", default="sl1", choices=["sl1", "w1"],
+    p.add_argument("--depth_loss", default="w1", choices=["sl1", "w1"],
                    help="depth supervision: multi-stage smooth-L1 or "
-                   "Wasserstein-1 over the depth distribution")
-    p.add_argument("--depth_offset", action="store_true",
+                   "Wasserstein-1 over the depth distribution.  w1 is "
+                   "the default since round 5: 2.8x stage-1 AP3D at the "
+                   "small recipe (replicated across seeds) and 4.5x at "
+                   "2048 frames/12k steps (docs/TWO_STAGE.md round-5)")
+    p.add_argument("--depth_offset", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="learned per-depth-plane offset branch under the "
-                   "W1 loss (reference loss3d.py:399-423)")
+                   "W1 loss (reference loss3d.py:399-423); on by default "
+                   "with w1 — --no-depth_offset disables")
     p.add_argument("--stage1_only", action="store_true",
                    help="stop after scoring the stage-1 proposals "
                    "(detector A/Bs)")
